@@ -1,0 +1,103 @@
+"""High-level encode/decode pipeline.
+
+This is the rebuild of the reference's whole program flow (reference
+src/starch3.cpp:14-70: stream setup -> 4-thread pipeline -> teardown) as a
+function: parse -> per-chromosome transform -> per-chromosome compression
+-> archive assembly, with the per-chromosome streams independent and
+therefore batchable across devices (parallel/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from starch3_tpu.bed.parser import ChromBlock, parse_bed
+from starch3_tpu.bed.writer import write_bed_chrom
+from starch3_tpu.config import CompressionMethod, EncodeConfig
+from starch3_tpu.errors import FormatError, UnsupportedCodecError
+from starch3_tpu.format.archive import StarchReader, StarchWriter
+from starch3_tpu.transform.delta import transform_chrom, untransform_chrom
+
+
+def _compress_stream(text: bytes, config: EncodeConfig) -> bytes:
+    if config.method is CompressionMethod.BZIP2:
+        if config.use_jax:
+            from starch3_tpu.parallel.pipeline import jax_bz2_compress
+
+            return jax_bz2_compress(text, config)
+        from starch3_tpu.codec.encoder import bz2_compress
+
+        return bz2_compress(text, config.block_size_100k)
+    if config.method is CompressionMethod.GZIP:
+        # the reference advertises gzip but exits ENOSYS
+        # (starch3api.hpp:777-779); implemented here via zlib
+        co = zlib.compressobj(config.gzip_level, zlib.DEFLATED, 31)
+        return co.compress(text) + co.flush()
+    raise UnsupportedCodecError(f"unknown codec {config.method}")
+
+
+def _decompress_stream(data: bytes, compression_format: str) -> bytes:
+    if compression_format == "bzip2":
+        # stdlib bz2 (libbz2) is used on the hot decode path; our own
+        # decoder (codec/decoder.py) is equivalence-tested against it
+        import bz2
+
+        return bz2.decompress(data)
+    if compression_format == "gzip":
+        return zlib.decompress(data, 31)
+    raise UnsupportedCodecError(f"unknown codec {compression_format!r}")
+
+
+def compress_bed_bytes(data: bytes, config: EncodeConfig | None = None) -> bytes:
+    """BED text -> .starch archive bytes."""
+    config = config or EncodeConfig()
+    writer = StarchWriter(note=config.note, compression=config.method.value)
+    for block in parse_bed(data):
+        tf = transform_chrom(block)
+        compressed = _compress_stream(tf.text, config)
+        writer.add_stream(
+            tf.chrom,
+            compressed,
+            uncompressed_size=len(tf.text),
+            line_count=tf.line_count,
+            base_count_nonunique=tf.base_count_nonunique,
+            base_count_unique=tf.base_count_unique,
+        )
+    return writer.finish()
+
+
+def decompress_starch_bytes(data: bytes) -> bytes:
+    """.starch archive bytes -> BED text (byte-exact round trip)."""
+    reader = StarchReader.from_bytes(data)
+    parts = []
+    for meta, stream in reader.iter_streams():
+        text = _decompress_stream(stream, reader.metadata.compression_format)
+        if len(text) != meta.uncompressed_size:
+            raise FormatError(
+                f"{meta.chromosome}: uncompressed size mismatch "
+                f"({len(text)} != {meta.uncompressed_size})"
+            )
+        block = untransform_chrom(meta.chromosome, text)
+        if block.n_records != meta.line_count:
+            raise FormatError(
+                f"{meta.chromosome}: line count mismatch "
+                f"({block.n_records} != {meta.line_count})"
+            )
+        parts.append(write_bed_chrom(block))
+    return b"".join(parts)
+
+
+def list_chromosomes(data: bytes) -> list[dict]:
+    """Metadata table for an archive (the unstarch --list analogue)."""
+    reader = StarchReader.from_bytes(data)
+    return [
+        {
+            "chromosome": s.chromosome,
+            "lineCount": s.line_count,
+            "size": s.size,
+            "uncompressedSize": s.uncompressed_size,
+            "nonUniqueBaseCount": s.base_count_nonunique,
+            "uniqueBaseCount": s.base_count_unique,
+        }
+        for s in reader.metadata.streams
+    ]

@@ -1,0 +1,185 @@
+"""Command-line interface, compatible with the reference ``starch3``.
+
+Reference surface (reference src/starch3.cpp:72-274):
+    starch3 [--note="foo bar baz"] [--bzip2 | --gzip] [input] > output
+    -n/--note, -b/--bzip2, -g/--gzip, -h/--help, -v/--version
+    - exactly one codec may be selected (src/starch3.cpp:159-163), bzip2
+      is the default (:164-166);
+    - input from a named file or stdin; a TTY stdin with no file is an
+      error (starch3api.hpp:890-905, exit ENODATA);
+    - archive goes to stdout (starch3api.hpp:765-769).
+
+Fixed vs the reference (SURVEY.md §3.5): ``--version`` works (the
+reference maps it to an unhandled 'w' and silently ignores it); gzip is
+implemented instead of exiting ENOSYS.
+
+Extensions (this framework is a full codec, not an encode-only scaffold):
+    --decode/-d       archive -> BED on stdout
+    --list            print the metadata table
+    --output/-o FILE  write to a file instead of stdout
+    --jax             run the heavy codec stages on the JAX backend
+"""
+
+from __future__ import annotations
+
+import os
+import stat
+import sys
+
+from starch3_tpu._version import __version__
+from starch3_tpu.config import CompressionMethod, EncodeConfig
+from starch3_tpu.errors import InputUnavailableError, OptionError, StarchError
+
+PROG = "starch3-tpu"
+AUTHORS = "starch3-tpu authors"
+
+USAGE = f"""\
+{PROG}
+  version: {__version__}
+
+  Usage:
+
+  $ {PROG} [--note="foo bar baz"] [--bzip2 | --gzip] [input] > output
+
+  Compresses sorted BED input into a Starch v2-style archive: magic bytes,
+  independent per-chromosome compressed streams, JSON metadata, footer.
+  Input is a named file or standard input; the archive goes to standard
+  output (or --output FILE).
+
+  Decode / inspect:
+
+  --decode | -d           decompress an archive back to BED
+  --list                  print the per-chromosome metadata table
+
+  Process Flags:
+
+  --note="foo bar baz"    Append note to archive metadata (optional)
+  --bzip2 | -b            Use bzip2 backend (default)
+  --gzip | -g             Use gzip backend
+  --output=FILE | -o      Write to FILE instead of stdout
+  --jax                   Use the JAX/TPU compute path
+  --help | -h             Show this usage message
+  --version | -v          Show binary version
+"""
+
+
+def _parse_args(argv: list[str]) -> dict:
+    opts = {
+        "note": "",
+        "method": None,
+        "decode": False,
+        "list": False,
+        "output": None,
+        "jax": False,
+        "input": None,
+    }
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a in ("--help", "-h", "-?"):
+            print(USAGE)
+            raise SystemExit(0)
+        if a in ("--version", "-v"):
+            print(f"{PROG}: {__version__}")
+            raise SystemExit(0)
+        if a in ("--decode", "-d"):
+            opts["decode"] = True
+        elif a == "--list":
+            opts["list"] = True
+        elif a == "--jax":
+            opts["jax"] = True
+        elif a in ("--bzip2", "-b"):
+            _set_method(opts, CompressionMethod.BZIP2)
+        elif a in ("--gzip", "-g"):
+            _set_method(opts, CompressionMethod.GZIP)
+        elif a.startswith("--note="):
+            opts["note"] = a[len("--note=") :]
+        elif a in ("--note", "-n"):
+            i += 1
+            if i >= len(argv):
+                raise OptionError("--note requires a value")
+            opts["note"] = argv[i]
+        elif a.startswith("--output="):
+            opts["output"] = a[len("--output=") :]
+        elif a in ("--output", "-o"):
+            i += 1
+            if i >= len(argv):
+                raise OptionError("--output requires a value")
+            opts["output"] = argv[i]
+        elif a.startswith("-") and a != "-":
+            raise OptionError(f"unknown option {a!r}")
+        else:
+            if opts["input"] is not None:
+                raise OptionError("multiple input files given")
+            opts["input"] = a
+        i += 1
+    return opts
+
+
+def _set_method(opts: dict, m: CompressionMethod) -> None:
+    if opts["method"] is not None and opts["method"] is not m:
+        # the reference treats two codec flags as a fatal usage error
+        # (src/starch3.cpp:159-163)
+        raise OptionError("only one compression method may be selected")
+    opts["method"] = m
+
+
+def _read_input(path: str | None) -> bytes:
+    if path is None or path == "-":
+        # refuse a TTY stdin, as the reference does
+        # (starch3api.hpp:890-905)
+        mode = os.fstat(sys.stdin.fileno()).st_mode
+        if not (stat.S_ISFIFO(mode) or stat.S_ISREG(mode)):
+            raise InputUnavailableError(
+                "no input stream available: pipe data in or name a file"
+            )
+        return sys.stdin.buffer.read()
+    if not os.path.exists(path):
+        raise InputUnavailableError(f"input file {path!r} does not exist")
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    try:
+        opts = _parse_args(argv)
+        data = _read_input(opts["input"])
+        if opts["list"]:
+            from starch3_tpu.api import list_chromosomes
+
+            rows = list_chromosomes(data)
+            cols = [
+                "chromosome", "lineCount", "size", "uncompressedSize",
+                "nonUniqueBaseCount", "uniqueBaseCount",
+            ]
+            print("\t".join(cols))
+            for r in rows:
+                print("\t".join(str(r[c]) for c in cols))
+            return 0
+        if opts["decode"]:
+            from starch3_tpu.api import decompress_starch_bytes
+
+            out = decompress_starch_bytes(data)
+        else:
+            from starch3_tpu.api import compress_bed_bytes
+
+            config = EncodeConfig(
+                note=opts["note"],
+                method=opts["method"] or CompressionMethod.default(),
+                use_jax=opts["jax"],
+            )
+            out = compress_bed_bytes(data, config)
+        if opts["output"]:
+            with open(opts["output"], "wb") as f:
+                f.write(out)
+        else:
+            sys.stdout.buffer.write(out)
+        return 0
+    except StarchError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return e.exit_code
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

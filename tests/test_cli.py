@@ -1,0 +1,78 @@
+"""CLI surface tests (reference parity: src/starch3.cpp:72-274)."""
+
+import subprocess
+import sys
+
+import pytest
+
+from tests.conftest import make_bed_text
+
+CLI = [sys.executable, "-m", "starch3_tpu.cli"]
+
+
+def run(args, input_=b"", check=True):
+    r = subprocess.run(CLI + args, input=input_, capture_output=True)
+    if check:
+        assert r.returncode == 0, r.stderr.decode()
+    return r
+
+
+class TestCli:
+    def test_encode_decode_roundtrip(self, tmp_path, rng):
+        bed = make_bed_text(rng, n=2000, with_remainder=True)
+        bed_file = tmp_path / "in.bed"
+        bed_file.write_bytes(bed)
+        r = run([str(bed_file)])
+        assert r.stdout[:4] == bytes([0xCA, 0x5C, 0xAD, 0x1A])
+        r2 = run(["--decode"], input_=r.stdout)
+        assert r2.stdout == bed
+
+    def test_stdin_encode(self, rng):
+        bed = make_bed_text(rng, n=500)
+        r = run([], input_=bed)
+        assert r.stdout[:4] == bytes([0xCA, 0x5C, 0xAD, 0x1A])
+
+    def test_note(self, tmp_path, rng):
+        bed = make_bed_text(rng, n=100)
+        r = run(["--note=hello note"], input_=bed)
+        r2 = run(["--list"], input_=r.stdout)
+        assert b"chromosome" in r2.stdout
+
+    def test_version_works(self):
+        # the reference's --version is silently broken (SURVEY.md §3.5);
+        # ours must work in both spellings
+        for flag in ("--version", "-v"):
+            r = run([flag])
+            assert b"starch3-tpu" in r.stdout
+
+    def test_help(self):
+        r = run(["--help"])
+        assert b"Usage" in r.stdout
+        assert b"--bzip2" in r.stdout
+
+    def test_two_codecs_rejected(self, rng):
+        r = run(["--bzip2", "--gzip"], input_=b"", check=False)
+        assert r.returncode != 0
+        assert b"one compression method" in r.stderr
+
+    def test_missing_file(self):
+        r = run(["/nonexistent/file.bed"], check=False)
+        assert r.returncode != 0
+        assert b"Error" in r.stderr
+
+    def test_unknown_option(self):
+        r = run(["--frobnicate"], check=False)
+        assert r.returncode != 0
+
+    def test_output_flag(self, tmp_path, rng):
+        bed = make_bed_text(rng, n=300)
+        out = tmp_path / "out.starch"
+        run(["-o", str(out)], input_=bed)
+        r = run(["--decode", str(out)])
+        assert r.stdout == bed
+
+    def test_gzip_flag(self, rng):
+        bed = make_bed_text(rng, n=300)
+        r = run(["--gzip"], input_=bed)
+        r2 = run(["--decode"], input_=r.stdout)
+        assert r2.stdout == bed
