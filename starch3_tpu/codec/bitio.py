@@ -58,11 +58,12 @@ class BitWriter:
 def pack_bits(
     values: np.ndarray, nbits: np.ndarray, acc: int = 0, acc_nbits: int = 0
 ) -> tuple[bytes, int, int]:
-    """Pack arrays of MSB-first bit fields into bytes.
+    """Pack arrays of MSB-first bit fields into bytes (vectorized).
 
-    Two-pass algorithm (mirrors the TPU kernel design): compute each field's
-    absolute bit offset with a cumulative sum, split each field into its
-    constituent bits' target positions, then reduce per output byte.
+    Word-based two-pass algorithm (the same formulation the TPU bit-pack
+    kernel uses): cumulative bit offsets place each field; a field lands in
+    at most two 64-bit big-endian words, contributed with two scatter-adds
+    (fields never overlap, so add == or).
 
     Returns (whole_bytes, tail_accumulator, tail_bit_count).
     """
@@ -70,41 +71,30 @@ def pack_bits(
     nbits = np.asarray(nbits, dtype=np.int64)
     if values.size == 0:
         return b"", acc, acc_nbits
-    total_bits = int(acc_nbits + nbits.sum())
-    ends = acc_nbits + np.cumsum(nbits)
-    starts = ends - nbits
-    nbytes = total_bits // 8
-    # Expand fields to single bits.  max nbits in bzip2 is 48 (stream magic),
-    # but the bulk arrays here are Huffman codes (<= 23 bits).
-    max_n = int(nbits.max())
-    # bit j (0 = MSB of the field) of field i lands at absolute position
-    # starts[i] + j.
-    j = np.arange(max_n, dtype=np.int64)
-    pos = starts[:, None] + j[None, :]
-    bit = (values[:, None] >> (nbits[:, None] - 1 - j[None, :]).clip(min=0).astype(np.uint64)) & np.uint64(1)
-    valid = j[None, :] < nbits[:, None]
-    pos_flat = pos[valid]
-    bit_flat = bit[valid].astype(np.uint8)
-    out = np.zeros(nbytes + 8, dtype=np.uint8)
-    byte_idx = pos_flat >> 3
-    shift = (7 - (pos_flat & 7)).astype(np.uint8)
-    np.bitwise_or.at(out, byte_idx, (bit_flat << shift).astype(np.uint8))
-    # fold the pre-existing accumulator's bits into the first byte(s)
     if acc_nbits:
-        acc_bytes = np.zeros(nbytes + 8, dtype=np.uint8)
-        a = acc
-        for k in range(acc_nbits):
-            b = (a >> (acc_nbits - 1 - k)) & 1
-            acc_bytes[k >> 3] |= b << (7 - (k & 7))
-        out |= acc_bytes
-    whole = out[:nbytes].tobytes()
+        values = np.concatenate(([np.uint64(acc)], values))
+        nbits = np.concatenate(([acc_nbits], nbits))
+    ends = np.cumsum(nbits)
+    starts = ends - nbits
+    total_bits = int(ends[-1])
+    nwords = (total_bits + 63) // 64
+    words = np.zeros(nwords + 1, dtype=np.uint64)
+    w = (starts >> 6).astype(np.int64)
+    off = starts & 63
+    rs = 64 - off - nbits  # right shift to place the field's LSB
+    fits = rs >= 0
+    np.add.at(words, w[fits], values[fits] << rs[fits].astype(np.uint64))
+    spans = ~fits
+    if spans.any():
+        hi_shift = (off[spans] + nbits[spans] - 64).astype(np.uint64)
+        lo_shift = (128 - off[spans] - nbits[spans]).astype(np.uint64)
+        np.add.at(words, w[spans], values[spans] >> hi_shift)
+        np.add.at(words, w[spans] + 1, values[spans] << lo_shift)
+    all_bytes = words.byteswap().tobytes()  # big-endian byte order
+    nbytes = total_bits // 8
     tail_nbits = total_bits - nbytes * 8
-    # reconstruct tail accumulator from the remaining bits
-    tail = 0
-    for k in range(tail_nbits):
-        p = nbytes * 8 + k
-        tail = (tail << 1) | ((int(out[p >> 3]) >> (7 - (p & 7))) & 1)
-    return whole, tail, tail_nbits
+    tail = all_bytes[nbytes] >> (8 - tail_nbits) if tail_nbits else 0
+    return all_bytes[:nbytes], tail, tail_nbits
 
 
 class BitReader:

@@ -58,9 +58,27 @@ def crc32_final(crc: int) -> int:
     return crc ^ 0xFFFFFFFF
 
 
+_BITREV8 = np.array(
+    [int(f"{i:08b}"[::-1], 2) for i in range(256)], dtype=np.uint8
+)
+
+
+def _bitrev32(x: int) -> int:
+    return int(f"{x:032b}"[::-1], 2)
+
+
 def crc32_bytes(data: bytes) -> int:
-    """CRC of a whole buffer (init 0xFFFFFFFF, final inversion)."""
-    return crc32_final(_crc32_fast(crc32_begin(), data))
+    """CRC of a whole buffer (init 0xFFFFFFFF, final inversion).
+
+    Hot path: bzip2's MSB-first CRC is the bit-reversal conjugate of the
+    reflected (zlib) CRC over bit-reversed bytes — verified against the
+    table implementation in tests — so the heavy lifting runs in zlib's C
+    at GB/s with one vectorized byte-reversal pass.
+    """
+    import zlib
+
+    rev = _BITREV8[np.frombuffer(data, dtype=np.uint8)].tobytes()
+    return _bitrev32(zlib.crc32(rev))
 
 
 def _crc32_fast(crc: int, data: bytes) -> int:

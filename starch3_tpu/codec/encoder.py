@@ -48,14 +48,26 @@ class EncodedStream:
 
 
 def write_block(bw: BitWriter, rle_block: Rle1Block) -> None:
-    """Encode one post-RLE1 block into the bit stream."""
+    """Encode one post-RLE1 block into the bit stream (oracle path)."""
     block = np.frombuffer(rle_block.data, dtype=np.uint8)
     last, orig_ptr = bwt_encode(block)
-    mtf = mtf_rle2(last)
+    write_block_from_bwt(bw, rle_block.crc, last, orig_ptr)
+
+
+def write_block_from_bwt(
+    bw: BitWriter,
+    crc: int,
+    last: np.ndarray,
+    orig_ptr: int,
+    ranks: np.ndarray | None = None,
+) -> None:
+    """Encode a block given its BWT last column (and optionally MTF ranks)
+    — the entry point the device pipeline feeds with kernel outputs."""
+    mtf = mtf_rle2(last, ranks=ranks)
     plan = huffman.build_plan(mtf.symbols, mtf.freq, mtf.alpha_size)
 
     bw.write(BLOCK_MAGIC, 48)
-    bw.write(rle_block.crc, 32)
+    bw.write(crc, 32)
     bw.write(0, 1)  # randomised: never, matching the 1.0.x compressor
     bw.write(orig_ptr, 24)
 

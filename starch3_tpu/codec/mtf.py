@@ -86,11 +86,16 @@ def encode_zero_run(z: int) -> list[int]:
     return digits
 
 
-def mtf_rle2(block: np.ndarray) -> MtfResult:
-    """Full MTF + RLE2 stage for one post-BWT block."""
+def mtf_rle2(block: np.ndarray, ranks: np.ndarray | None = None) -> MtfResult:
+    """Full MTF + RLE2 stage for one post-BWT block.
+
+    ``ranks`` may be precomputed (e.g. by the device kernel
+    ops/mtf_jax.py); otherwise the NumPy formulation runs.
+    """
     in_use, unseq_to_seq, n_in_use = symbol_map(block)
-    seq = unseq_to_seq[block]
-    ranks = mtf_ranks(seq, n_in_use)
+    if ranks is None:
+        seq = unseq_to_seq[block]
+        ranks = mtf_ranks(seq, n_in_use)
     eob = n_in_use + 1
     alpha_size = n_in_use + 2
 

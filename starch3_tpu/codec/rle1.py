@@ -38,7 +38,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from starch3_tpu.codec.crc32 import _crc32_fast, crc32_begin, crc32_final
+from starch3_tpu.codec.crc32 import crc32_bytes
 
 
 @dataclass(frozen=True)
@@ -91,7 +91,7 @@ def rle1_split_blocks(data: bytes, block_size_100k: int = 9) -> list[Rle1Block]:
         """Close the current block; pending bytes stay for the next one."""
         nonlocal crc_start
         crc_end = consumed - pend_len
-        crc = crc32_final(_crc32_fast(crc32_begin(), data[crc_start:crc_end]))
+        crc = crc32_bytes(data[crc_start:crc_end])
         blocks.append(
             Rle1Block(bytes(cur), crc, src_start=crc_start, src_end=crc_end)
         )

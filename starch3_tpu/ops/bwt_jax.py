@@ -1,0 +1,91 @@
+"""BWT rotation sort on device: prefix doubling over XLA sorts.
+
+The reference's block sorter (bundled bzip2's blocksort.c, ~1100 lines of
+cache-tuned sequential C) defines the required *behavior*: lexicographic
+order of all cyclic rotations, with equal rotations left in decreasing
+start-index order (codec/bwt.py documents the tie-break evidence).  The
+TPU-native method is entirely different: prefix doubling — each round
+sorts (rank_i, rank_{i+k mod n}) pairs with a fixed-shape two-key XLA
+sort and densely reranks, doubling k until all ranks are distinct.  For a
+900 kB block that is <= 20 rounds of n*log(n) device sort, all MXU/VPU-
+friendly fixed shapes, batched across blocks with vmap/pjit.
+
+Padded formulation: arrays are padded to ``n_max``; padded slots carry
++inf-like keys so they sort to the tail and never mix with real ranks;
+the true length ``n`` is a scalar operand (no dynamic shapes under jit).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# plain numpy scalar: a module-level jnp constant would live on the
+# device and stall MLIR constant embedding on remote-tunnel backends
+_BIG = np.int32(0x7FFFFFF0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_max",))
+def bwt_encode_padded(block: jax.Array, n: jax.Array, n_max: int):
+    """Rotation-sort a padded block.
+
+    Args:
+      block: uint8[n_max] (contents beyond ``n`` ignored)
+      n: int32 scalar, actual length (1 <= n <= n_max)
+      n_max: static padded size
+    Returns:
+      last: uint8[n_max] BWT last column (valid prefix of length n)
+      orig_ptr: int32 scalar, sorted position of rotation 0
+    """
+    idx = jnp.arange(n_max, dtype=jnp.int32)
+    valid = idx < n
+    rank = jnp.where(valid, block.astype(jnp.int32), _BIG + 1)
+
+    def round_body(state):
+        rank, k, _done = state
+        shifted = jnp.where(valid, (idx + k) % n, 0)
+        rank2 = jnp.where(valid, rank[shifted], _BIG + 1)
+        r1s, r2s, order = jax.lax.sort(
+            (rank, rank2, idx), num_keys=2, is_stable=True
+        )
+        changed = jnp.concatenate(
+            [
+                jnp.zeros((1,), jnp.int32),
+                ((r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1])).astype(jnp.int32),
+            ]
+        )
+        new_rank_sorted = jnp.cumsum(changed)
+        new_rank = jnp.zeros_like(rank).at[order].set(new_rank_sorted)
+        new_rank = jnp.where(valid, new_rank, _BIG + 1)
+        # distinct when the max valid rank equals n-1
+        done = jnp.max(jnp.where(valid, new_rank, -1)) == n - 1
+        return new_rank, k * 2, done
+
+    def cond(state):
+        _rank, k, done = state
+        return jnp.logical_and(jnp.logical_not(done), k < 2 * n)
+
+    rank, _, _ = jax.lax.while_loop(
+        cond, round_body, (rank, jnp.int32(1), jnp.asarray(False))
+    )
+    # final order: rank ascending, ties (equal rotations) by index
+    # descending — the libbz2-observed order (codec/bwt.py)
+    _, _, sa = jax.lax.sort((rank, -idx, idx), num_keys=2, is_stable=False)
+    prev = jnp.where(sa > 0, sa - 1, n - 1)
+    last = block[prev]
+    orig_ptr = jnp.argmax(sa == 0).astype(jnp.int32)
+    return last, orig_ptr
+
+
+def bwt_encode_jax(block_np: np.ndarray, n_max: int | None = None):
+    """Host-convenience wrapper mirroring codec.bwt.bwt_encode."""
+    n = int(block_np.size)
+    if n_max is None:
+        n_max = n
+    padded = np.zeros(n_max, dtype=np.uint8)
+    padded[:n] = block_np
+    last, ptr = bwt_encode_padded(jnp.asarray(padded), jnp.int32(n), n_max)
+    return np.asarray(last)[:n], int(ptr)

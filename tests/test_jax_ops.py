@@ -1,0 +1,148 @@
+"""Device-kernel equivalence tests (CPU backend, small shapes).
+
+Every device kernel must match its NumPy oracle exactly; the oracles are
+themselves bit-exactness-tested against libbz2 (test_bitexact.py), so
+equality here extends the bit-exact guarantee to the device path.
+"""
+
+import numpy as np
+import pytest
+
+from starch3_tpu.codec.bwt import bwt_encode
+from starch3_tpu.codec.mtf import mtf_ranks, symbol_map
+from starch3_tpu.ops.bwt_jax import bwt_encode_jax
+from starch3_tpu.ops.mtf_jax import mtf_ranks_jax
+
+from tests.conftest import make_bed_text
+
+
+class TestBwtJax:
+    @pytest.mark.parametrize("n", [1, 2, 33, 512, 3000])
+    def test_matches_oracle_random(self, rng, n):
+        blk = rng.integers(0, 256, n, dtype=np.uint8)
+        l1, p1 = bwt_encode(blk)
+        l2, p2 = bwt_encode_jax(blk, n_max=max(512, ((n + 511) // 512) * 512))
+        assert l1.tolist() == l2.tolist()
+        assert p1 == p2
+
+    def test_matches_oracle_lowentropy(self, rng):
+        blk = rng.integers(0, 3, 2048, dtype=np.uint8)
+        l1, p1 = bwt_encode(blk)
+        l2, p2 = bwt_encode_jax(blk, n_max=2048)
+        assert l1.tolist() == l2.tolist() and p1 == p2
+
+    def test_matches_oracle_periodic(self):
+        blk = np.frombuffer(b"xyz" * 300, dtype=np.uint8)
+        l1, p1 = bwt_encode(blk)
+        l2, p2 = bwt_encode_jax(blk, n_max=1024)
+        assert l1.tolist() == l2.tolist() and p1 == p2
+
+    def test_padding_is_inert(self, rng):
+        blk = rng.integers(0, 256, 700, dtype=np.uint8)
+        l1, p1 = bwt_encode_jax(blk, n_max=1024)
+        l2, p2 = bwt_encode_jax(blk, n_max=2048)
+        assert l1.tolist() == l2.tolist() and p1 == p2
+
+
+class TestMtfJax:
+    @pytest.mark.parametrize("n", [1, 100, 4096, 5000])
+    def test_matches_oracle(self, rng, n):
+        blk = rng.integers(0, 200, n, dtype=np.uint8)
+        _, u2s, n_in = symbol_map(blk)
+        seq = u2s[blk]
+        assert mtf_ranks_jax(seq.astype(np.int32), n_in).tolist() == mtf_ranks(
+            seq, n_in
+        ).tolist()
+
+
+class TestTransformJax:
+    def test_core_matches_host(self, rng):
+        import jax.numpy as jnp
+
+        from starch3_tpu.ops.transform_jax import transform_core, union_length_device
+        from starch3_tpu.transform.delta import _dec_len, _union_length
+
+        n = 500
+        starts = np.cumsum(rng.integers(0, 1000, n)).astype(np.int32)
+        stops = (starts + rng.integers(1, 500, n)).astype(np.int32)
+        p_mask, diff, deltas, p_lens, d_lens, nonuniq = transform_core(
+            jnp.asarray(starts), jnp.asarray(stops)
+        )
+        coord_diff = stops.astype(np.int64) - starts
+        prev = np.concatenate(([0], coord_diff[:-1]))
+        last_stop = np.concatenate(([0], stops[:-1])).astype(np.int64)
+        exp_deltas = np.where(last_stop == 0, starts, starts - last_stop)
+        assert np.array_equal(np.asarray(p_mask), coord_diff != prev)
+        assert np.array_equal(np.asarray(deltas), exp_deltas)
+        assert np.array_equal(np.asarray(d_lens), _dec_len(exp_deltas))
+        assert int(nonuniq) == int(coord_diff.sum())
+        assert int(union_length_device(jnp.asarray(starts), jnp.asarray(stops))) == _union_length(
+            starts.astype(np.int64), stops.astype(np.int64)
+        )
+
+    def test_untransform_core(self, rng):
+        import jax.numpy as jnp
+
+        from starch3_tpu.ops.transform_jax import untransform_core
+
+        n = 300
+        starts = np.cumsum(rng.integers(1, 100, n)).astype(np.int32)
+        stops = (starts + rng.integers(1, 50, n)).astype(np.int32)
+        diffs = stops - starts
+        last_stop = np.concatenate(([0], stops[:-1]))
+        deltas = starts - last_stop
+        s2, e2 = untransform_core(jnp.asarray(deltas), jnp.asarray(diffs))
+        assert np.array_equal(np.asarray(s2), starts)
+        assert np.array_equal(np.asarray(e2), stops)
+
+
+class TestHuffJax:
+    def test_group_hist_and_cost(self, rng):
+        import jax.numpy as jnp
+
+        from starch3_tpu.ops.huff_jax import ALPHA_MAX, cost_and_select, group_histograms
+
+        n_mtf = 437
+        g_max = 9  # ceil(437/50)
+        syms = rng.integers(0, 50, g_max * 50).astype(np.int32)
+        hist = group_histograms(jnp.asarray(syms), jnp.int32(n_mtf), g_max)
+        hist_np = np.zeros((g_max, ALPHA_MAX), dtype=np.int64)
+        for i in range(n_mtf):
+            hist_np[i // 50, syms[i]] += 1
+        assert np.array_equal(np.asarray(hist), hist_np)
+
+        lengths = rng.integers(1, 18, (6, ALPHA_MAX)).astype(np.int32)
+        mask = np.array([True, True, True, False, False, False])
+        sel, rfreq = cost_and_select(
+            jnp.asarray(hist), jnp.asarray(lengths), jnp.asarray(mask)
+        )
+        cost_np = hist_np @ lengths.T.astype(np.int64)
+        cost_np[:, ~mask] = 1 << 30
+        assert np.array_equal(np.asarray(sel), np.argmin(cost_np, axis=1))
+        rfreq_np = np.zeros((6, ALPHA_MAX), dtype=np.int64)
+        for g in range(g_max):
+            rfreq_np[np.argmin(cost_np[g])] += hist_np[g]
+        assert np.array_equal(np.asarray(rfreq), rfreq_np)
+
+
+class TestJaxPipeline:
+    def test_bit_exact_small(self, rng):
+        import bz2
+
+        from starch3_tpu.parallel.pipeline import jax_bz2_compress
+
+        data = make_bed_text(rng, n=2000)
+        assert jax_bz2_compress(data) == bz2.compress(data, 9)
+
+    def test_sharded_mesh(self, rng):
+        import bz2
+
+        from starch3_tpu.parallel.mesh import make_block_mesh
+        from starch3_tpu.parallel.pipeline import jax_bz2_compress
+
+        mesh = make_block_mesh()  # all 8 virtual CPU devices
+        assert mesh.devices.size == 8
+        data = make_bed_text(rng, n=2000)
+        # archive bytes must be independent of topology (BASELINE.json
+        # determinism requirement)
+        assert jax_bz2_compress(data, mesh=mesh) == bz2.compress(data, 9)
