@@ -52,8 +52,9 @@ def main() -> int:
     baseline_mbps = len(bed) / baseline_dt / 1e6
 
     config = EncodeConfig(use_jax=use_jax)
-    # warm-up (compile device programs off the clock)
-    compress_bed_bytes(bed[: len(bed) // 8], config)
+    # warm-up run: compiles every device program for the real geometry
+    # off the clock (first TPU compile is tens of seconds, cached after)
+    compress_bed_bytes(bed, config)
     t0 = time.perf_counter()
     archive = compress_bed_bytes(bed, config)
     dt = time.perf_counter() - t0

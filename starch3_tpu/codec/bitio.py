@@ -71,6 +71,11 @@ def pack_bits(
     nbits = np.asarray(nbits, dtype=np.int64)
     if values.size == 0:
         return b"", acc, acc_nbits
+    from starch3_tpu.runtime import pack_bits_native
+
+    native = pack_bits_native(values, nbits, acc, acc_nbits)
+    if native is not None:
+        return native
     if acc_nbits:
         values = np.concatenate(([np.uint64(acc)], values))
         nbits = np.concatenate(([acc_nbits], nbits))

@@ -61,9 +61,25 @@ def write_block_from_bwt(
     orig_ptr: int,
     ranks: np.ndarray | None = None,
 ) -> None:
-    """Encode a block given its BWT last column (and optionally MTF ranks)
-    — the entry point the device pipeline feeds with kernel outputs."""
-    mtf = mtf_rle2(last, ranks=ranks)
+    """Encode a block given its BWT last column (and optionally MTF ranks)."""
+    _write_block_tail(bw, crc, orig_ptr, mtf_rle2(last, ranks=ranks))
+
+
+def write_block_from_ranks(
+    bw: BitWriter,
+    crc: int,
+    orig_ptr: int,
+    ranks: np.ndarray,
+    in_use: np.ndarray,
+) -> None:
+    """Encode a block from device-kernel outputs only (MTF ranks +
+    used-byte map + origPtr) — the BWT last column stays on the device."""
+    from starch3_tpu.codec.mtf import mtf_rle2_from_ranks
+
+    _write_block_tail(bw, crc, orig_ptr, mtf_rle2_from_ranks(ranks, in_use))
+
+
+def _write_block_tail(bw: BitWriter, crc: int, orig_ptr: int, mtf) -> None:
     plan = huffman.build_plan(mtf.symbols, mtf.freq, mtf.alpha_size)
 
     bw.write(BLOCK_MAGIC, 48)

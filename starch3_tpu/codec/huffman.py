@@ -54,7 +54,16 @@ def make_code_lengths(freq: np.ndarray, alpha_size: int, max_len: int = MAX_CODE
     node ids 1..alpha_size are the leaves (symbol i -> node i+1), internal
     nodes get increasing ids, and the binary heap orders by the full packed
     (weight<<8)|depth word with strict-less comparisons.
+
+    Dispatches to the native runtime (runtime/runtime.cpp) when built;
+    the Python implementation below is the behavioral reference and the
+    fallback.
     """
+    from starch3_tpu.runtime import make_code_lengths_native
+
+    native = make_code_lengths_native(freq, alpha_size, max_len)
+    if native is not None:
+        return native
     weight = np.zeros(alpha_size * 2 + 2, dtype=np.int64)
     parent = np.zeros(alpha_size * 2 + 2, dtype=np.int64)
     heap = np.zeros(alpha_size + 2, dtype=np.int64)
@@ -196,8 +205,10 @@ def build_plan(symbols: np.ndarray, freq: np.ndarray, alpha_size: int) -> Huffma
 
     # --- per-group histograms (vectorized; reused across iterations) -----
     group_id_per_symbol = np.arange(n_mtf, dtype=np.int64) // GROUP_SIZE
-    hist = np.zeros((n_sel, alpha_size), dtype=np.int64)
-    np.add.at(hist, (group_id_per_symbol, symbols.astype(np.int64)), 1)
+    hist = np.bincount(
+        group_id_per_symbol * alpha_size + symbols.astype(np.int64),
+        minlength=n_sel * alpha_size,
+    ).reshape(n_sel, alpha_size)
 
     selectors = np.empty(n_sel, dtype=np.int64)
     for _ in range(N_ITERS):

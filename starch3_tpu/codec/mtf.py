@@ -94,8 +94,20 @@ def mtf_rle2(block: np.ndarray, ranks: np.ndarray | None = None) -> MtfResult:
     """
     in_use, unseq_to_seq, n_in_use = symbol_map(block)
     if ranks is None:
+        from starch3_tpu.runtime import mtf_ranks_native
+
         seq = unseq_to_seq[block]
-        ranks = mtf_ranks(seq, n_in_use)
+        ranks = mtf_ranks_native(seq, n_in_use)
+        if ranks is None:
+            ranks = mtf_ranks(seq, n_in_use)
+    return mtf_rle2_from_ranks(ranks, in_use)
+
+
+def mtf_rle2_from_ranks(ranks: np.ndarray, in_use: np.ndarray) -> MtfResult:
+    """RLE2 assembly from precomputed MTF ranks + used-byte map — the
+    host residue when the device pipeline computed the ranks (the BWT
+    last column itself never has to leave the device)."""
+    n_in_use = int(in_use.sum())
     eob = n_in_use + 1
     alpha_size = n_in_use + 2
 
@@ -132,15 +144,17 @@ def mtf_rle2(block: np.ndarray, ranks: np.ndarray | None = None) -> MtfResult:
     offsets = np.concatenate(([0], np.cumsum(chunk_lens)))
     total = int(offsets[-1])
     out = np.empty(total, dtype=np.int32)
-    # place digits (vectorized expansion over max digit count)
-    max_d = int(digit_counts.max()) if digit_counts.size else 0
-    if max_d:
-        j = np.arange(max_d, dtype=np.int64)
-        m = (runs + 1)[:, None]
-        digs = (m >> j[None, :]) & 1  # LSB-first digits, j < digit_counts
-        valid = j[None, :] < digit_counts[:, None]
-        tgt = offsets[:-1][:, None] + j[None, :]
-        out[tgt[valid]] = digs[valid]
+    # place digits column-by-column over the shrinking set of runs that
+    # still have digits (geometric decay: most zero-runs are 1-2 long, so
+    # this is ~2n ops instead of an n x max_digits dense expansion)
+    m = runs + 1
+    starts_ = offsets[:-1]
+    active = np.flatnonzero(m >= 2)  # has digit 0
+    k = 0
+    while active.size:
+        out[starts_[active] + k] = (m[active] >> k) & 1
+        k += 1
+        active = active[(m[active] >> k) >= 2]
     # place nonzero symbols and EOB
     if n_nz:
         out[offsets[:n_nz] + digit_counts[:n_nz]] = nz_vals

@@ -63,7 +63,33 @@ def find_runs(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def rle1_split_blocks(data: bytes, block_size_100k: int = 9) -> list[Rle1Block]:
-    """Split ``data`` into bzip2 blocks with exact libbz2 boundaries."""
+    """Split ``data`` into bzip2 blocks with exact libbz2 boundaries.
+
+    Dispatches to the native runtime when built (identical discipline in
+    C, runtime/runtime.cpp s3_rle1_split); this Python implementation is
+    the behavioral reference and fallback.
+    """
+    from starch3_tpu.runtime import rle1_split_native
+
+    native = rle1_split_native(data, block_size_100k)
+    if native is not None:
+        out, offsets, bounds = native
+        blocks = []
+        prev_src = 0
+        for i in range(len(bounds)):
+            blk = out[offsets[i] : offsets[i + 1]].tobytes()
+            src_end = int(bounds[i])
+            blocks.append(
+                Rle1Block(
+                    blk,
+                    crc32_bytes(data[prev_src:src_end]),
+                    src_start=prev_src,
+                    src_end=src_end,
+                )
+            )
+            prev_src = src_end
+        return blocks
+
     nblock_max = 100_000 * block_size_100k - 19
     arr = np.frombuffer(data, dtype=np.uint8)
     values, lengths = find_runs(arr)

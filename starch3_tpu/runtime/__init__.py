@@ -1,0 +1,161 @@
+"""Native host runtime loader (ctypes over runtime.cpp).
+
+Builds lazily with g++ on first use (cached as _runtime.so next to the
+source); every entry point has a NumPy fallback so the package works
+without a toolchain.  See runtime.cpp for what lives here and why.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "runtime.cpp")
+_SO = os.path.join(_HERE, "_runtime.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "-std=c++17", "-o", _SO, _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded native library, or None (fallback mode)."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("STARCH3_TPU_NO_NATIVE"):
+            return None
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.s3_make_code_lengths.restype = ctypes.c_int
+        lib.s3_make_code_lengths.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+        ]
+        lib.s3_pack_bits.restype = ctypes.c_int64
+        lib.s3_pack_bits.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_uint64, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.s3_mtf_ranks.restype = None
+        lib.s3_mtf_ranks.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+        ]
+        lib.s3_rle1_encode.restype = ctypes.c_int64
+        lib.s3_rle1_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.s3_rle1_decode.restype = ctypes.c_int64
+        lib.s3_rle1_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.s3_rle1_split.restype = ctypes.c_int64
+        lib.s3_rle1_split.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ]
+        _lib = lib
+        return _lib
+
+
+def make_code_lengths_native(freq: np.ndarray, alpha_size: int, max_len: int):
+    """Native Huffman lengths, or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    freq = np.ascontiguousarray(freq, dtype=np.int64)
+    out = np.empty(alpha_size, dtype=np.int32)
+    rc = lib.s3_make_code_lengths(
+        freq.ctypes.data, alpha_size, max_len, out.ctypes.data
+    )
+    if rc != 0:
+        return None
+    return out.astype(np.int64)
+
+
+def pack_bits_native(values: np.ndarray, nbits: np.ndarray, acc: int, acc_nbits: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    nbits32 = np.ascontiguousarray(nbits, dtype=np.int32)
+    total_bits = acc_nbits + int(nbits32.sum())
+    out = np.empty(total_bits // 8 + 16, dtype=np.uint8)
+    tail = ctypes.c_uint64()
+    tail_nbits = ctypes.c_int32()
+    n = lib.s3_pack_bits(
+        values.ctypes.data, nbits32.ctypes.data, values.size,
+        acc, acc_nbits, out.ctypes.data,
+        ctypes.byref(tail), ctypes.byref(tail_nbits),
+    )
+    return out[:n].tobytes(), int(tail.value), int(tail_nbits.value)
+
+
+def mtf_ranks_native(seq: np.ndarray, n_sym: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    seq = np.ascontiguousarray(seq, dtype=np.int32)
+    out = np.empty(seq.size, dtype=np.int32)
+    lib.s3_mtf_ranks(seq.ctypes.data, seq.size, n_sym, out.ctypes.data)
+    return out
+
+
+def rle1_split_native(data: bytes, level: int):
+    """Native block segmentation; returns (out_buf bytes, block_offsets,
+    src_bounds) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    out_cap = arr.size + arr.size // 4 + 64
+    out = np.empty(out_cap, dtype=np.uint8)
+    max_blocks = arr.size // (100_000 * level - 19) + 4
+    offsets = np.zeros(max_blocks + 1, dtype=np.int64)
+    bounds = np.zeros(max_blocks + 1, dtype=np.int64)
+    nb = lib.s3_rle1_split(
+        arr.ctypes.data, arr.size, level, out.ctypes.data, out_cap,
+        offsets.ctypes.data, bounds.ctypes.data, max_blocks,
+    )
+    if nb < 0:
+        return None
+    return out, offsets[: nb + 1], bounds[:nb]
+
+
+def rle1_decode_native(data: bytes):
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    cap = arr.size // 5 * 259 + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.s3_rle1_decode(arr.ctypes.data, arr.size, out.ctypes.data, cap)
+    if n < 0:
+        raise ValueError("truncated RLE1 run" if n == -1 else "RLE1 overflow")
+    return out[:n].tobytes()

@@ -1,0 +1,81 @@
+"""Parallel-subsystem tests: mesh sharding, assembly, manifest, multihost.
+
+Runs on the 8-virtual-device CPU mesh (conftest).  Determinism asserts
+implement SURVEY.md §4's "archive bytes independent of host count".
+"""
+
+import numpy as np
+
+from starch3_tpu.api import compress_bed_bytes, decompress_starch_bytes
+from starch3_tpu.bed.parser import parse_bed
+from starch3_tpu.parallel.assemble import Manifest, assemble_ordered, input_digest
+from starch3_tpu.parallel.distributed import (
+    corpus_fingerprint,
+    encode_corpus_multihost,
+    shard_chromosomes,
+)
+from starch3_tpu.parallel.mesh import make_block_mesh, pad_batch
+
+from tests.conftest import make_bed_text
+
+
+class TestMesh:
+    def test_mesh_all_devices(self):
+        mesh = make_block_mesh()
+        assert mesh.devices.size == 8
+        assert mesh.axis_names == ("blocks",)
+
+    def test_mesh_subset(self):
+        assert make_block_mesh(4).devices.size == 4
+
+    def test_pad_batch(self):
+        assert pad_batch(5, 8) == 8
+        assert pad_batch(8, 8) == 8
+        assert pad_batch(9, 8) == 16
+        assert pad_batch(1, 1) == 1
+
+
+class TestMultihostSharding:
+    def test_round_robin(self):
+        chroms = [f"chr{i}" for i in range(10)]
+        all_assigned = []
+        for h in range(3):
+            all_assigned += shard_chromosomes(chroms, 3, h)
+        assert sorted(all_assigned) == list(range(10))
+
+    def test_host_count_invariance(self, rng):
+        """Archive bytes must not depend on how many hosts encoded."""
+        bed = make_bed_text(rng, n=900, chroms=("chr1", "chr2", "chr3", "chrX"))
+        blocks = parse_bed(bed)
+        order = [b.chrom for b in blocks]
+
+        archives = []
+        for n_hosts in (1, 2, 4):
+            results = {}
+            for h in range(n_hosts):
+                results.update(
+                    encode_corpus_multihost(blocks, num_hosts=n_hosts, host_id=h)
+                )
+            archives.append(assemble_ordered(order, results))
+        assert archives[0] == archives[1] == archives[2]
+        # and the gathered archive equals the single-process API's output
+        assert archives[0] == compress_bed_bytes(bed)
+        assert decompress_starch_bytes(archives[0]) == bed
+
+    def test_fingerprint_stable(self, rng):
+        texts = [bytes(rng.integers(0, 255, 100, dtype=np.uint8)) for _ in range(3)]
+        assert corpus_fingerprint(texts) == corpus_fingerprint(list(texts))
+
+
+class TestManifestResume:
+    def test_resume_skips_done(self, tmp_path, rng):
+        path = str(tmp_path / "manifest.jsonl")
+        m = Manifest.load(path)
+        digest = input_digest(b"some transformed text")
+        assert not m.has("chr1", digest)
+        m.record("chr1", digest, "chr1.bz2", {"size": 10})
+        # reload from disk: the entry survives the "crash"
+        m2 = Manifest.load(path)
+        assert m2.has("chr1", digest)
+        # changed input invalidates the entry
+        assert not m2.has("chr1", input_digest(b"different text"))
