@@ -38,8 +38,17 @@ def _compress_stream(text: bytes, config: EncodeConfig) -> bytes:
 
 def _decompress_stream(data: bytes, compression_format: str) -> bytes:
     if compression_format == "bzip2":
-        # stdlib bz2 (libbz2) is used on the hot decode path; our own
-        # decoder (codec/decoder.py) is equivalence-tested against it
+        # hot decode path: our native C++ decoder (runtime/runtime.cpp),
+        # equivalence-tested against libbz2; stdlib bz2 as fallback when
+        # the native runtime isn't built
+        from starch3_tpu.runtime import bz2_decompress_native
+
+        try:
+            out = bz2_decompress_native(data)
+        except ValueError as e:
+            raise FormatError(str(e)) from e
+        if out is not None:
+            return out
         import bz2
 
         return bz2.decompress(data)
@@ -52,9 +61,21 @@ def compress_bed_bytes(data: bytes, config: EncodeConfig | None = None) -> bytes
     """BED text -> .starch archive bytes."""
     config = config or EncodeConfig()
     writer = StarchWriter(note=config.note, compression=config.method.value)
-    for block in parse_bed(data):
-        tf = transform_chrom(block)
-        compressed = _compress_stream(tf.text, config)
+    transformed = [transform_chrom(b) for b in parse_bed(data)]
+    if config.use_jax and config.method is CompressionMethod.BZIP2 and transformed:
+        # one global device queue across all chromosomes: blocks from
+        # every stream share batches, so N small chromosomes cost ~N/batch
+        # dispatches instead of N (parallel/pipeline.py encode_streams)
+        from starch3_tpu.parallel.pipeline import encode_streams
+
+        streams = encode_streams(
+            [tf.text for tf in transformed],
+            level=config.block_size_100k,
+            batch_size=config.blocks_per_batch,
+        )
+    else:
+        streams = [_compress_stream(tf.text, config) for tf in transformed]
+    for tf, compressed in zip(transformed, streams):
         writer.add_stream(
             tf.chrom,
             compressed,

@@ -42,12 +42,39 @@ def bwt_encode_padded(block: jax.Array, n: jax.Array, n_max: int):
     """
     idx = jnp.arange(n_max, dtype=jnp.int32)
     valid = idx < n
-    rank = jnp.where(valid, block.astype(jnp.int32), _BIG + 1)
+
+    # initial ranks resolve 3 characters at once: pack bytes
+    # (b[i],b[i+1],b[i+2]) cyclically as one 24-bit big-endian key (stays
+    # positive in int32), then dense-rerank — saves two doubling rounds
+    b32 = block.astype(jnp.int32)
+    key0 = jnp.zeros(n_max, jnp.int32)
+    for off in range(3):
+        nxt = b32[jnp.where(valid, (idx + off) % n, 0)]
+        key0 = (key0 << 8) | nxt
+    key0 = jnp.where(valid, key0, _BIG + 1)
+    k0s, order0 = jax.lax.sort((key0, idx), num_keys=1, is_stable=True)
+    changed0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), (k0s[1:] != k0s[:-1]).astype(jnp.int32)]
+    )
+    rank = jnp.zeros(n_max, jnp.int32).at[order0].set(jnp.cumsum(changed0))
+    rank = jnp.where(valid, rank, _BIG + 1)
+    done0 = jnp.max(jnp.where(valid, rank, -1)) == n - 1
+
+    def cyclic_shift(rank, k):
+        """rank[(i+k) mod n] for i < n, via two static-size slices
+        (contiguous HBM reads) instead of a random gather."""
+        k_mod = k % n
+        dbl = jnp.concatenate([rank, rank])  # static 2*n_max
+        a = jax.lax.dynamic_slice(dbl, (k_mod,), (n_max,))  # rank[i+k_mod]
+        zeros_front = jnp.concatenate([jnp.zeros(n_max, rank.dtype), rank])
+        b = jax.lax.dynamic_slice(
+            zeros_front, (n_max + k_mod - n,), (n_max,)
+        )  # rank[i + k_mod - n]
+        return jnp.where(idx < n - k_mod, a, b)
 
     def round_body(state):
         rank, k, _done = state
-        shifted = jnp.where(valid, (idx + k) % n, 0)
-        rank2 = jnp.where(valid, rank[shifted], _BIG + 1)
+        rank2 = jnp.where(valid, cyclic_shift(rank, k), _BIG + 1)
         r1s, r2s, order = jax.lax.sort(
             (rank, rank2, idx), num_keys=2, is_stable=True
         )
@@ -69,7 +96,7 @@ def bwt_encode_padded(block: jax.Array, n: jax.Array, n_max: int):
         return jnp.logical_and(jnp.logical_not(done), k < 2 * n)
 
     rank, _, _ = jax.lax.while_loop(
-        cond, round_body, (rank, jnp.int32(1), jnp.asarray(False))
+        cond, round_body, (rank, jnp.int32(3), done0)
     )
     # final order: rank ascending, ties (equal rotations) by index
     # descending — the libbz2-observed order (codec/bwt.py)

@@ -1,0 +1,91 @@
+"""MTF ranks as a Pallas TPU kernel.
+
+Same math as ops/mtf_jax.py (scan-of-cummax over (TILE, 256) position
+matrices), but hand-tiled: the grid walks the block's tiles sequentially
+(TPU grid steps execute in order), the last-occurrence carry lives in a
+(1, 256) VMEM scratch that persists across grid steps, and each tile's
+work is pure VPU: an equality one-hot, a Hillis-Steele cumulative max
+along the sublane axis, and two masked row reductions.
+
+Why a hand kernel at all: the XLA formulation materializes the full
+(n, 256) occurrence tensor in HBM between the scan steps it can't fuse;
+the Pallas version streams one (512, 256) tile (0.5 MB) through VMEM and
+writes only the 512 ranks — ~256x less HBM traffic on the hot loop
+(guide: /opt/skills/guides/pallas_guide.md, double-buffered by the
+pipeline emitter automatically via BlockSpec index maps).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 1024  # matches XLA layout tiling T(1024) for 1-D s32 operands
+_NEG = np.int32(-(1 << 30))
+
+
+def _mtf_kernel(seq_ref, out_ref, carry_ref):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        # initial list order: L0(s) = -1 - s
+        carry_ref[0, :] = -1 - jax.lax.broadcasted_iota(jnp.int32, (256,), 0)
+
+    vals = seq_ref[:]  # (TILE,)
+    sym = jax.lax.broadcasted_iota(jnp.int32, (TILE, 256), 1)
+    pos = t * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, 256), 0)
+    onehot = vals[:, None] == sym
+    occ = jnp.where(onehot, pos, _NEG)
+    # exclusive cumulative max along sublanes (Hillis-Steele, log2(TILE)
+    # rounds of shift+max); exclusive: shift down by 1 first
+    ex = jnp.concatenate(
+        [jnp.full((1, 256), _NEG, jnp.int32), occ[:-1, :]], axis=0
+    )
+    shift = 1
+    while shift < TILE:
+        shifted = jnp.concatenate(
+            [jnp.full((shift, 256), _NEG, jnp.int32), ex[:-shift, :]], axis=0
+        )
+        ex = jnp.maximum(ex, shifted)
+        shift <<= 1
+    last = jnp.maximum(ex, carry_ref[0, :][None, :])
+    own = jnp.max(jnp.where(onehot, last, _NEG), axis=1)  # the lone hit
+    out_ref[:] = jnp.sum(last > own[:, None], axis=1).astype(jnp.int32)
+    # inclusive max of this tile's occurrences folds into the carry
+    carry_ref[0, :] = jnp.maximum(
+        carry_ref[0, :], jnp.max(occ, axis=0)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_max", "interpret"))
+def mtf_ranks_pallas(seq: jax.Array, n_max: int, interpret: bool = False) -> jax.Array:
+    """MTF ranks over a dense-alphabet int32 sequence (padded to n_max)."""
+    assert n_max % TILE == 0
+    return pl.pallas_call(
+        _mtf_kernel,
+        grid=(n_max // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE,), lambda t: (t,), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((TILE,), lambda t: (t,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_max,), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, 256), jnp.int32)],
+        interpret=interpret,
+    )(seq)
+
+
+def mtf_ranks_pallas_host(seq_np: np.ndarray) -> np.ndarray:
+    """Host wrapper (pads, picks interpret mode off-TPU)."""
+    n = seq_np.size
+    n_max = ((n + TILE - 1) // TILE) * TILE
+    padded = np.zeros(n_max, dtype=np.int32)
+    padded[:n] = seq_np
+    interpret = jax.default_backend() != "tpu"
+    out = mtf_ranks_pallas(jnp.asarray(padded), n_max, interpret)
+    return np.asarray(out)[:n]

@@ -150,35 +150,79 @@ def _unpack_results(out_d, lens, b, n_max):
     ]
 
 
+# geometry buckets: one compiled program per bucket, shared by every
+# stream/chromosome (a per-input n_max would recompile per geometry)
+_N_MAX_BUCKETS = (16_384, 131_072, N_MAX_BLOCK)
+
+
+def _bucket_for(size: int) -> int:
+    for b in _N_MAX_BUCKETS:
+        if size <= b:
+            return b
+    raise ValueError(f"block size {size} exceeds {N_MAX_BLOCK}")
+
+
+def encode_streams(
+    texts: list[bytes], level: int = 9, mesh=None, batch_size: int = 8
+) -> list[bytes]:
+    """Compress many independent streams with one global device queue.
+
+    All streams' blocks are flattened into shared batches (one geometry
+    bucket per batch), dispatched software-pipelined, and reassembled per
+    stream in order — so 24 chromosomes with one block each cost ~3
+    device dispatches, not 24 (the cross-stream analogue of the
+    reference's single-stream sequential loop).
+    """
+    per_stream_blocks = [rle1_split_blocks(t, level) for t in texts]
+    flat: list[tuple[int, int]] = []  # (stream_idx, block_idx)
+    for si, blocks in enumerate(per_stream_blocks):
+        for bi in range(len(blocks)):
+            flat.append((si, bi))
+    # group by geometry bucket, preserving order within each bucket
+    by_bucket: dict[int, list[tuple[int, int]]] = {}
+    for si, bi in flat:
+        nb = _bucket_for(len(per_stream_blocks[si][bi].data))
+        by_bucket.setdefault(nb, []).append((si, bi))
+
+    results: dict[tuple[int, int], tuple] = {}
+    for n_max, items in by_bucket.items():
+        pending = []
+        for lo in range(0, len(items), batch_size):
+            chunk = items[lo : lo + batch_size]
+            datas = [per_stream_blocks[si][bi].data for si, bi in chunk]
+            pending.append((chunk, *_dispatch_chunk(datas, n_max, mesh)))
+            if len(pending) > 1:
+                _drain_into(results, per_stream_blocks, pending.pop(0), n_max)
+        while pending:
+            _drain_into(results, per_stream_blocks, pending.pop(0), n_max)
+
+    streams = []
+    for si, blocks in enumerate(per_stream_blocks):
+        bw = BitWriter()
+        bw.write_bytes_msb(b"BZh")
+        bw.write(0x30 + level, 8)
+        combined = 0
+        for bi, blk in enumerate(blocks):
+            in_use, ptr, ranks = results[(si, bi)]
+            combined = combine_block_crc(combined, blk.crc)
+            write_block_from_ranks(bw, blk.crc, ptr, ranks, in_use)
+        bw.write(STREAM_END_MAGIC, 48)
+        bw.write(combined, 32)
+        streams.append(bw.getvalue())
+    return streams
+
+
+def _drain_into(results, per_stream_blocks, item, n_max):
+    chunk, out_d, lens, b = item
+    for (si, bi), res in zip(chunk, _unpack_results(out_d, lens, b, n_max)):
+        results[(si, bi)] = res
+
+
 def jax_bz2_compress(data: bytes, config=None, mesh=None, n_max: int | None = None) -> bytes:
     """bzip2-compatible compression with the heavy stages on device."""
     level = config.block_size_100k if config is not None else 9
     batch_size = getattr(config, "blocks_per_batch", 8) if config else 8
-    blocks = rle1_split_blocks(data, level)
-    if n_max is None:
-        # smallest padded geometry that fits the largest block (tile
-        # multiple) — small inputs compile a small program
-        biggest = max((len(b.data) for b in blocks), default=1)
-        n_max = min(N_MAX_BLOCK, ((biggest + 511) // 512) * 512)
-    bw = BitWriter()
-    bw.write_bytes_msb(b"BZh")
-    bw.write(0x30 + level, 8)
-    combined = 0
-    # software pipeline: dispatch batch i+1 (async) before downloading and
-    # bit-assembling batch i, overlapping device compute with host residue
-    chunks = [blocks[lo : lo + batch_size] for lo in range(0, len(blocks), batch_size)]
-    pending = []  # (chunk, out_device, lens, b)
-    for chunk in chunks:
-        pending.append(
-            (chunk, *_dispatch_chunk([blk.data for blk in chunk], n_max, mesh))
-        )
-        if len(pending) > 1:
-            combined = _drain_one(bw, pending.pop(0), combined, n_max)
-    while pending:
-        combined = _drain_one(bw, pending.pop(0), combined, n_max)
-    bw.write(STREAM_END_MAGIC, 48)
-    bw.write(combined, 32)
-    return bw.getvalue()
+    return encode_streams([data], level=level, mesh=mesh, batch_size=batch_size)[0]
 
 
 def _dispatch_chunk(block_datas, n_max, mesh):

@@ -80,6 +80,10 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
         ]
+        lib.s3_bz2_decompress.restype = ctypes.c_int64
+        lib.s3_bz2_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -146,6 +150,30 @@ def rle1_split_native(data: bytes, level: int):
     if nb < 0:
         return None
     return out, offsets[: nb + 1], bounds[:nb]
+
+
+def bz2_decompress_native(stream: bytes, size_hint: int | None = None):
+    """Full-stream bzip2 decode in the native runtime, or None.
+
+    Raises FormatError-compatible ValueError on corrupt streams.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.frombuffer(stream, dtype=np.uint8)
+    cap = max(size_hint or 0, len(stream) * 4, 1 << 16)
+    for _ in range(8):
+        out = np.empty(cap, dtype=np.uint8)
+        n = lib.s3_bz2_decompress(arr.ctypes.data, arr.size, out.ctypes.data, cap)
+        if n >= 0:
+            return out[:n].tobytes()
+        if n == -2:
+            cap *= 4
+            continue
+        raise ValueError(
+            "bzip2: corrupt stream" if n == -1 else "bzip2: CRC mismatch"
+        )
+    raise ValueError("bzip2: output capacity loop exceeded")
 
 
 def rle1_decode_native(data: bytes):

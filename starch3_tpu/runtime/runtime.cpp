@@ -312,4 +312,277 @@ int64_t s3_rle1_split(const uint8_t* in, int64_t n, int32_t level,
     return nb;
 }
 
+// ---------------------------------------------------------------------------
+// Full bzip2 stream decoder (fresh implementation of the public format —
+// the behavioral spec lives in starch3_tpu/codec/decoder.py, validated
+// against libbz2).  Returns the decoded length, or:
+//   -1 malformed stream   -2 output capacity exceeded   -3 CRC mismatch
+// ---------------------------------------------------------------------------
+namespace {
+
+struct BitReader {
+    const uint8_t* data;
+    int64_t nbytes;
+    int64_t pos = 0;  // absolute bit position
+    bool ok = true;
+
+    inline uint32_t read(int nbits) {
+        uint32_t v = 0;
+        if ((pos + nbits) > nbytes * 8) {
+            ok = false;
+            return 0;
+        }
+        for (int i = 0; i < nbits; i++) {
+            v = (v << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1);
+            pos++;
+        }
+        return v;
+    }
+    inline int bit() {
+        if (pos >= nbytes * 8) {
+            ok = false;
+            return 0;
+        }
+        int b = (data[pos >> 3] >> (7 - (pos & 7))) & 1;
+        pos++;
+        return b;
+    }
+    inline uint64_t read48() {
+        return ((uint64_t)read(24) << 24) | read(24);
+    }
+};
+
+static uint32_t g_crc_table[256];
+static bool g_crc_init = false;
+static void crc_init() {
+    if (g_crc_init) return;
+    for (uint32_t i = 0; i < 256; i++) {
+        uint32_t c = i << 24;
+        for (int k = 0; k < 8; k++)
+            c = (c & 0x80000000u) ? (c << 1) ^ 0x04C11DB7u : (c << 1);
+        g_crc_table[i] = c;
+    }
+    g_crc_init = true;
+}
+
+}  // namespace
+
+int64_t s3_bz2_decompress(const uint8_t* in, int64_t in_len, uint8_t* out,
+                          int64_t out_cap) {
+    crc_init();
+    if (in_len < 14 || in[0] != 'B' || in[1] != 'Z' || in[2] != 'h') return -1;
+    int level = in[3] - '0';
+    if (level < 1 || level > 9) return -1;
+    BitReader br{in, in_len};
+    br.pos = 32;
+    int64_t out_len = 0;
+    uint32_t combined = 0;
+    const int64_t max_block = 100000LL * level + 64;
+    // scratch for one block (allocated once, reused)
+    static thread_local uint8_t* tt = nullptr;      // bwt last column
+    static thread_local int32_t* lf = nullptr;      // LF mapping
+    static thread_local int64_t tt_cap = 0;
+    if (tt_cap < max_block) {
+        delete[] tt;
+        delete[] lf;
+        tt = new uint8_t[max_block];
+        lf = new int32_t[max_block];
+        tt_cap = max_block;
+    }
+
+    for (;;) {
+        uint64_t magic = br.read48();
+        if (!br.ok) return -1;
+        if (magic == 0x177245385090ULL) {
+            uint32_t stored = br.read(32);
+            if (!br.ok || stored != combined) return -3;
+            return out_len;
+        }
+        if (magic != 0x314159265359ULL) return -1;
+        uint32_t block_crc = br.read(32);
+        if (br.bit()) return -1;  // randomised unsupported (1.0.x never)
+        uint32_t orig_ptr = br.read(24);
+        // symbol map
+        uint16_t gmask = (uint16_t)br.read(16);
+        uint8_t seq_to_byte[256];
+        int n_in_use = 0;
+        for (int g = 0; g < 16; g++) {
+            if ((gmask >> (15 - g)) & 1) {
+                uint16_t bits = (uint16_t)br.read(16);
+                for (int b = 0; b < 16; b++)
+                    if ((bits >> (15 - b)) & 1)
+                        seq_to_byte[n_in_use++] = (uint8_t)(g * 16 + b);
+            }
+        }
+        if (n_in_use == 0 || !br.ok) return -1;
+        int alpha = n_in_use + 2;
+        int n_groups = br.read(3);
+        if (n_groups < 2 || n_groups > 6) return -1;
+        int n_sel = br.read(15);
+        if (n_sel < 1 || !br.ok) return -1;
+        // selectors (MTF-coded unary)
+        static thread_local uint8_t* sels = nullptr;
+        static thread_local int64_t sels_cap = 0;
+        if (sels_cap < n_sel) {
+            delete[] sels;
+            sels = new uint8_t[n_sel];
+            sels_cap = n_sel;
+        }
+        {
+            uint8_t pos_[6] = {0, 1, 2, 3, 4, 5};
+            for (int i = 0; i < n_sel; i++) {
+                int j = 0;
+                while (br.bit()) {
+                    j++;
+                    if (j >= n_groups || !br.ok) return -1;
+                }
+                uint8_t s = pos_[j];
+                for (int t = j; t > 0; t--) pos_[t] = pos_[t - 1];
+                pos_[0] = s;
+                sels[i] = s;
+            }
+        }
+        // code lengths -> canonical decode tables
+        int32_t len[6][258];
+        for (int t = 0; t < n_groups; t++) {
+            int curr = br.read(5);
+            for (int s = 0; s < alpha; s++) {
+                for (;;) {
+                    if (curr < 1 || curr > 23 || !br.ok) return -1;
+                    if (!br.bit()) break;
+                    if (br.bit()) curr--; else curr++;
+                }
+                len[t][s] = curr;
+            }
+        }
+        int32_t limit[6][25], base[6][25], perm[6][258], min_len_t[6];
+        for (int t = 0; t < n_groups; t++) {
+            int mn = 32, mx = 0;
+            for (int s = 0; s < alpha; s++) {
+                if (len[t][s] < mn) mn = len[t][s];
+                if (len[t][s] > mx) mx = len[t][s];
+            }
+            min_len_t[t] = mn;
+            int pp = 0;
+            for (int l = mn; l <= mx; l++)
+                for (int s = 0; s < alpha; s++)
+                    if (len[t][s] == l) perm[t][pp++] = s;
+            int32_t cnt[25] = {0};
+            for (int s = 0; s < alpha; s++) cnt[len[t][s]]++;
+            int vec = 0, rank = 0;
+            for (int l = mn; l <= mx; l++) {
+                base[t][l] = vec - rank;
+                rank += cnt[l];
+                vec += cnt[l];
+                limit[t][l] = vec - 1;
+                vec <<= 1;
+            }
+            for (int l = mx + 1; l < 25; l++) limit[t][l] = 0x7FFFFFFF;
+        }
+        // symbol loop: inverse RLE2 + MTF straight into tt[]
+        int eob = alpha - 1;
+        uint8_t mtf[256];
+        for (int i = 0; i < n_in_use; i++) mtf[i] = seq_to_byte[i];
+        int64_t nblock = 0;
+        int64_t run = 0, run_w = 1;
+        int g = -1, gpos = 0;
+        for (;;) {
+            if (gpos == 0) {
+                g++;
+                if (g >= n_sel) return -1;
+                gpos = 50;
+            }
+            gpos--;
+            int t = sels[g];
+            int l = min_len_t[t];
+            int32_t v = br.read(l);
+            while (v > limit[t][l]) {
+                v = (v << 1) | br.bit();
+                l++;
+                if (l > 23 || !br.ok) return -1;
+            }
+            int sym = perm[t][v - base[t][l]];
+            if (sym == eob) break;
+            if (sym <= 1) {  // RUNA/RUNB
+                run += run_w << sym;
+                run_w <<= 1;
+                continue;
+            }
+            if (run) {
+                if (nblock + run > max_block) return -1;
+                memset(tt + nblock, mtf[0], (size_t)run);
+                nblock += run;
+                run = 0;
+            }
+            run_w = 1;
+            int j = sym - 1;
+            uint8_t ch = mtf[j];
+            memmove(mtf + 1, mtf, (size_t)j);
+            mtf[0] = ch;
+            if (nblock >= max_block) return -1;
+            tt[nblock++] = ch;
+        }
+        if (run) {
+            if (nblock + run > max_block) return -1;
+            memset(tt + nblock, mtf[0], (size_t)run);
+            nblock += run;
+        }
+        if ((int64_t)orig_ptr >= nblock) return -1;
+        // inverse BWT: LF mapping then backwards walk
+        int64_t cnt_b[256] = {0};
+        for (int64_t i2 = 0; i2 < nblock; i2++) cnt_b[tt[i2]]++;
+        int64_t starts[256];
+        int64_t acc = 0;
+        for (int c = 0; c < 256; c++) {
+            starts[c] = acc;
+            acc += cnt_b[c];
+        }
+        int64_t occ[256] = {0};
+        for (int64_t i2 = 0; i2 < nblock; i2++) {
+            lf[i2] = (int32_t)(starts[tt[i2]] + occ[tt[i2]]++);
+        }
+        // walk LF from orig_ptr: emits original bytes back-to-front;
+        // then RLE1-decode forward.  Decode into a temp (reuse lf? no —
+        // emit into a scratch byte buffer).
+        static thread_local uint8_t* pre = nullptr;
+        static thread_local int64_t pre_cap = 0;
+        if (pre_cap < max_block) {
+            delete[] pre;
+            pre = new uint8_t[max_block];
+            pre_cap = max_block;
+        }
+        {
+            int64_t row = orig_ptr;
+            for (int64_t i2 = nblock - 1; i2 >= 0; i2--) {
+                pre[i2] = tt[row];
+                row = lf[row];
+            }
+        }
+        // RLE1 decode + CRC
+        uint32_t crc = 0xFFFFFFFFu;
+        int64_t i2 = 0;
+        while (i2 < nblock) {
+            uint8_t c = pre[i2];
+            int64_t j2 = i2 + 1;
+            while (j2 < nblock && j2 < i2 + 4 && pre[j2] == c) j2++;
+            int64_t rep = j2 - i2;
+            if (rep == 4) {
+                if (j2 >= nblock) return -1;
+                rep = 4 + pre[j2];
+                i2 = j2 + 1;
+            } else {
+                i2 = j2;
+            }
+            if (out_len + rep > out_cap) return -2;
+            memset(out + out_len, c, (size_t)rep);
+            out_len += rep;
+            for (int64_t k = 0; k < rep; k++)
+                crc = (crc << 8) ^ g_crc_table[((crc >> 24) ^ c) & 0xFF];
+        }
+        crc ^= 0xFFFFFFFFu;
+        if (crc != block_crc) return -3;
+        combined = ((combined << 1) | (combined >> 31)) ^ crc;
+    }
+}
+
 }  // extern "C"
