@@ -88,6 +88,13 @@ def _parse_args(argv: list[str]) -> dict:
             opts["list"] = True
         elif a == "--jax":
             opts["jax"] = True
+        elif a.startswith("--platform="):
+            # this environment's TPU plugin ignores JAX_PLATFORMS; give
+            # users an explicit switch (must run before backend init)
+            plat = a[len("--platform=") :]
+            import jax
+
+            jax.config.update("jax_platforms", plat)
         elif a in ("--bzip2", "-b"):
             _set_method(opts, CompressionMethod.BZIP2)
         elif a in ("--gzip", "-g"):

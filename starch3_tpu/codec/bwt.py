@@ -20,6 +20,19 @@ from __future__ import annotations
 import numpy as np
 
 
+def bwt_best(block: np.ndarray) -> tuple[np.ndarray, int]:
+    """Production host-path BWT: native SA-IS (runtime/runtime.cpp) when
+    built, NumPy prefix doubling otherwise.  Both produce identical
+    output including the equal-rotation tie order (tests/test_runtime.py).
+    """
+    from starch3_tpu.runtime import bwt_native
+
+    native = bwt_native(block)
+    if native is not None:
+        return native
+    return bwt_encode(block)
+
+
 def bwt_encode(block: np.ndarray) -> tuple[np.ndarray, int]:
     """Sort all cyclic rotations of ``block`` (uint8).
 

@@ -28,7 +28,7 @@ import numpy as np
 
 from starch3_tpu.codec import huffman
 from starch3_tpu.codec.bitio import BitWriter
-from starch3_tpu.codec.bwt import bwt_encode
+from starch3_tpu.codec.bwt import bwt_best, bwt_encode
 from starch3_tpu.codec.crc32 import combine_block_crc
 from starch3_tpu.codec.mtf import mtf_rle2
 from starch3_tpu.codec.rle1 import Rle1Block, rle1_split_blocks
@@ -48,9 +48,9 @@ class EncodedStream:
 
 
 def write_block(bw: BitWriter, rle_block: Rle1Block) -> None:
-    """Encode one post-RLE1 block into the bit stream (oracle path)."""
+    """Encode one post-RLE1 block into the bit stream (host path)."""
     block = np.frombuffer(rle_block.data, dtype=np.uint8)
-    last, orig_ptr = bwt_encode(block)
+    last, orig_ptr = bwt_best(block)
     write_block_from_bwt(bw, rle_block.crc, last, orig_ptr)
 
 

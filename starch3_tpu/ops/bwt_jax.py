@@ -43,38 +43,22 @@ def bwt_encode_padded(block: jax.Array, n: jax.Array, n_max: int):
     idx = jnp.arange(n_max, dtype=jnp.int32)
     valid = idx < n
 
-    # initial ranks resolve 3 characters at once: pack bytes
-    # (b[i],b[i+1],b[i+2]) cyclically as one 24-bit big-endian key (stays
-    # positive in int32), then dense-rerank — saves two doubling rounds
-    b32 = block.astype(jnp.int32)
-    key0 = jnp.zeros(n_max, jnp.int32)
-    for off in range(3):
-        nxt = b32[jnp.where(valid, (idx + off) % n, 0)]
-        key0 = (key0 << 8) | nxt
-    key0 = jnp.where(valid, key0, _BIG + 1)
-    k0s, order0 = jax.lax.sort((key0, idx), num_keys=1, is_stable=True)
-    changed0 = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), (k0s[1:] != k0s[:-1]).astype(jnp.int32)]
-    )
-    rank = jnp.zeros(n_max, jnp.int32).at[order0].set(jnp.cumsum(changed0))
-    rank = jnp.where(valid, rank, _BIG + 1)
-    done0 = jnp.max(jnp.where(valid, rank, -1)) == n - 1
-
-    def cyclic_shift(rank, k):
-        """rank[(i+k) mod n] for i < n, via two static-size slices
-        (contiguous HBM reads) instead of a random gather."""
-        k_mod = k % n
-        dbl = jnp.concatenate([rank, rank])  # static 2*n_max
-        a = jax.lax.dynamic_slice(dbl, (k_mod,), (n_max,))  # rank[i+k_mod]
-        zeros_front = jnp.concatenate([jnp.zeros(n_max, rank.dtype), rank])
-        b = jax.lax.dynamic_slice(
-            zeros_front, (n_max + k_mod - n,), (n_max,)
-        )  # rank[i + k_mod - n]
-        return jnp.where(idx < n - k_mod, a, b)
+    # initial ranks: raw byte values (order-preserving; densified by the
+    # first round's rerank).  NOTE: packing several bytes into the initial
+    # key saves ~2 doubling rounds but was measured to *triple* the AOT
+    # compile time on this backend — compile dominates fresh-process cost,
+    # so single-byte init wins overall.
+    rank = jnp.where(valid, block.astype(jnp.int32), _BIG + 1)
+    done0 = jnp.asarray(False)
 
     def round_body(state):
         rank, k, _done = state
-        rank2 = jnp.where(valid, cyclic_shift(rank, k), _BIG + 1)
+        # (idx + k) mod n without integer mod: the loop cond keeps k < 2n,
+        # so idx + k < 3n and two conditional subtracts wrap correctly
+        j = idx + k
+        j = jnp.where(j >= n, j - n, j)
+        j = jnp.where(j >= n, j - n, j)
+        rank2 = jnp.where(valid, rank[jnp.where(valid, j, 0)], _BIG + 1)
         r1s, r2s, order = jax.lax.sort(
             (rank, rank2, idx), num_keys=2, is_stable=True
         )
@@ -96,7 +80,7 @@ def bwt_encode_padded(block: jax.Array, n: jax.Array, n_max: int):
         return jnp.logical_and(jnp.logical_not(done), k < 2 * n)
 
     rank, _, _ = jax.lax.while_loop(
-        cond, round_body, (rank, jnp.int32(3), done0)
+        cond, round_body, (rank, jnp.int32(1), done0)
     )
     # final order: rank ascending, ties (equal rotations) by index
     # descending — the libbz2-observed order (codec/bwt.py)

@@ -84,6 +84,8 @@ def get_lib():
         lib.s3_bz2_decompress.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.s3_bwt.restype = ctypes.c_int64
+        lib.s3_bwt.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -150,6 +152,19 @@ def rle1_split_native(data: bytes, level: int):
     if nb < 0:
         return None
     return out, offsets[: nb + 1], bounds[:nb]
+
+
+def bwt_native(block: np.ndarray):
+    """SA-IS rotation sort (runtime.cpp s3_bwt): (last, orig_ptr) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    block = np.ascontiguousarray(block, dtype=np.uint8)
+    last = np.empty(block.size, dtype=np.uint8)
+    ptr = lib.s3_bwt(block.ctypes.data, block.size, last.ctypes.data)
+    if ptr < 0:
+        return None
+    return last, int(ptr)
 
 
 def bz2_decompress_native(stream: bytes, size_hint: int | None = None):

@@ -20,6 +20,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -310,6 +311,172 @@ int64_t s3_rle1_split(const uint8_t* in, int64_t n, int32_t level,
     }
     block_offsets[nb] = o;
     return nb;
+}
+
+// ---------------------------------------------------------------------------
+// BWT rotation sort via SA-IS (Nong/Zhang/Chan induced sorting), written
+// from scratch.  Rotation order with libbz2's equal-rotation tie order
+// (descending start index) falls out of suffix-sorting the doubled block
+// with a unique smallest sentinel: equal rotations compare equal until
+// the shorter suffix hits the sentinel, which sorts first — so the
+// larger start index wins (codec/bwt.py documents the tie evidence).
+// ---------------------------------------------------------------------------
+namespace {
+
+static void sais(const int32_t* s, int32_t* sa, int64_t n, int32_t K,
+                 int32_t* work) {
+    // s[n-1] must be the unique smallest symbol (sentinel).
+    if (n == 1) {
+        sa[0] = 0;
+        return;
+    }
+    // 1. classify: true = S-type
+    std::vector<bool> is_s((size_t)n);
+    is_s[n - 1] = true;
+    for (int64_t i = n - 2; i >= 0; i--)
+        is_s[i] = s[i] < s[i + 1] || (s[i] == s[i + 1] && is_s[i + 1]);
+    auto is_lms = [&](int64_t i) {
+        return i > 0 && is_s[i] && !is_s[i - 1];
+    };
+    // bucket counts
+    int32_t* bkt = work;  // K entries
+    auto bucket_ends = [&]() {
+        for (int32_t c = 0; c < K; c++) bkt[c] = 0;
+        for (int64_t i = 0; i < n; i++) bkt[s[i]]++;
+        int32_t sum = 0;
+        for (int32_t c = 0; c < K; c++) {
+            sum += bkt[c];
+            bkt[c] = sum;  // exclusive end
+        }
+    };
+    auto bucket_starts = [&]() {
+        for (int32_t c = 0; c < K; c++) bkt[c] = 0;
+        for (int64_t i = 0; i < n; i++) bkt[s[i]]++;
+        int32_t sum = 0;
+        for (int32_t c = 0; c < K; c++) {
+            int32_t t = bkt[c];
+            bkt[c] = sum;
+            sum += t;
+        }
+    };
+    auto induce = [&]() {
+        // induce L from sorted LMS/S positions already in sa
+        bucket_starts();
+        for (int64_t i = 0; i < n; i++) {
+            int64_t j = sa[i];
+            if (j > 0 && !is_s[j - 1]) sa[bkt[s[j - 1]]++] = (int32_t)(j - 1);
+        }
+        // induce S
+        bucket_ends();
+        for (int64_t i = n - 1; i >= 0; i--) {
+            int64_t j = sa[i];
+            if (j > 0 && is_s[j - 1]) sa[--bkt[s[j - 1]]] = (int32_t)(j - 1);
+        }
+    };
+
+    // 2. first pass: place LMS suffixes at bucket ends (arbitrary order)
+    for (int64_t i = 0; i < n; i++) sa[i] = -1;
+    bucket_ends();
+    for (int64_t i = 1; i < n; i++)
+        if (is_lms(i)) sa[--bkt[s[i]]] = (int32_t)i;
+    induce();
+
+    // 3. name LMS substrings in sorted order
+    int64_t n_lms = 0;
+    int32_t* lms_order = sa;  // reuse front of sa after extraction
+    std::vector<int32_t> lms_sorted;
+    lms_sorted.reserve((size_t)(n / 2 + 1));
+    for (int64_t i = 0; i < n; i++)
+        if (is_lms(sa[i])) lms_sorted.push_back(sa[i]);
+    n_lms = (int64_t)lms_sorted.size();
+    std::vector<int32_t> name((size_t)n, -1);
+    int32_t cur_name = 0;
+    int64_t prev = -1;
+    for (int64_t k = 0; k < n_lms; k++) {
+        int64_t pos = lms_sorted[(size_t)k];
+        if (prev == -1) {
+            name[(size_t)pos] = cur_name;
+        } else {
+            // compare LMS substrings at prev and pos
+            bool diff = false;
+            for (int64_t d = 0;; d++) {
+                if (s[prev + d] != s[pos + d] ||
+                    is_s[(size_t)(prev + d)] != is_s[(size_t)(pos + d)]) {
+                    diff = true;
+                    break;
+                }
+                if (d > 0 && (is_lms(prev + d) || is_lms(pos + d))) {
+                    diff = !(is_lms(prev + d) && is_lms(pos + d));
+                    break;
+                }
+            }
+            if (diff) cur_name++;
+            name[(size_t)pos] = cur_name;
+        }
+        prev = pos;
+    }
+    // collect reduced string in text order
+    std::vector<int32_t> red;
+    std::vector<int32_t> lms_pos;
+    red.reserve((size_t)n_lms);
+    lms_pos.reserve((size_t)n_lms);
+    for (int64_t i = 1; i < n; i++)
+        if (is_lms(i)) {
+            red.push_back(name[(size_t)i]);
+            lms_pos.push_back((int32_t)i);
+        }
+    // 4. order LMS suffixes
+    std::vector<int32_t> lms_sa((size_t)n_lms);
+    if (cur_name + 1 == n_lms) {
+        for (int64_t k = 0; k < n_lms; k++)
+            lms_sa[(size_t)red[(size_t)k]] = (int32_t)k;
+    } else {
+        std::vector<int32_t> subwork((size_t)(cur_name + 1));
+        sais(red.data(), lms_sa.data(), n_lms, cur_name + 1, subwork.data());
+    }
+    // 5. final induce with LMS in sorted order
+    for (int64_t i = 0; i < n; i++) sa[i] = -1;
+    bucket_ends();
+    for (int64_t k = n_lms - 1; k >= 0; k--) {
+        int32_t pos = lms_pos[(size_t)lms_sa[(size_t)k]];
+        sa[--bkt[s[pos]]] = pos;
+    }
+    induce();
+    (void)lms_order;
+}
+
+}  // namespace
+
+// BWT of one block: returns orig_ptr, fills last[n].
+int64_t s3_bwt(const uint8_t* block, int64_t n, uint8_t* last) {
+    if (n <= 0) return -1;
+    if (n == 1) {
+        last[0] = block[0];
+        return 0;
+    }
+    const int64_t m = 2 * n + 1;
+    std::vector<int32_t> s((size_t)m);
+    for (int64_t i = 0; i < n; i++) {
+        s[(size_t)i] = (int32_t)block[i] + 1;
+        s[(size_t)(i + n)] = (int32_t)block[i] + 1;
+    }
+    s[(size_t)(m - 1)] = 0;  // unique smallest sentinel
+    std::vector<int32_t> sa((size_t)m);
+    std::vector<int32_t> work(257);
+    sais(s.data(), sa.data(), m, 257, work.data());
+    int64_t orig_ptr = -1;
+    int64_t o = 0;
+    for (int64_t i = 0; i < m; i++) {
+        int32_t p = sa[(size_t)i];
+        if (p >= n) continue;  // keep suffixes starting in the first copy
+        if (p == 0) {
+            orig_ptr = o;
+            last[o++] = block[n - 1];
+        } else {
+            last[o++] = block[p - 1];
+        }
+    }
+    return orig_ptr;
 }
 
 // ---------------------------------------------------------------------------

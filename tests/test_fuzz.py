@@ -1,0 +1,68 @@
+"""Randomized fuzzing of the whole codec chain (slow tier).
+
+Covers the input-shape corners that targeted tests can miss: random run
+structures, tiny/huge alphabets, block-boundary straddling, random BED
+grammars.  Everything asserts the strongest property available —
+byte-equality with libbz2 or byte-exact round-trip.
+"""
+
+import bz2
+
+import numpy as np
+import pytest
+
+from starch3_tpu.api import compress_bed_bytes, decompress_starch_bytes
+from starch3_tpu.codec.decoder import bz2_decompress
+from starch3_tpu.codec.encoder import bz2_compress
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_bitexact(seed):
+    rng = np.random.default_rng(seed)
+    kind = seed % 4
+    n = int(rng.integers(1, 200_000))
+    if kind == 0:
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+    elif kind == 1:
+        data = rng.integers(0, int(rng.integers(2, 8)), n, dtype=np.uint8).tobytes()
+    elif kind == 2:  # run-heavy
+        parts = []
+        total = 0
+        while total < n:
+            ln = int(rng.integers(1, 1000))
+            parts.append(bytes([int(rng.integers(0, 256))]) * ln)
+            total += ln
+        data = b"".join(parts)[:n]
+    else:  # text-like
+        words = [b"%d" % int(rng.integers(0, 10**9)) for _ in range(n // 8)]
+        data = b"\n".join(words)
+    assert bz2_compress(data, 9) == bz2.compress(data, 9)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_own_decoder(seed):
+    rng = np.random.default_rng(100 + seed)
+    data = rng.integers(0, 16, int(rng.integers(1, 50_000)), dtype=np.uint8).tobytes()
+    assert bz2_decompress(bz2.compress(data, 9)) == data
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_bed_roundtrip(seed):
+    rng = np.random.default_rng(200 + seed)
+    lines = []
+    for chrom in [b"chr1", b"chr2", b"chrUn_gl000220"]:
+        pos = int(rng.integers(0, 10**6))
+        for _ in range(int(rng.integers(1, 2000))):
+            pos += int(rng.integers(0, 5000))
+            ln = int(rng.integers(1, 10**5))
+            rem = b""
+            if rng.integers(0, 2):
+                rem = b"\t" + bytes(
+                    rng.integers(33, 127, int(rng.integers(1, 30))).astype(np.uint8)
+                )
+            lines.append(b"%s\t%d\t%d%s" % (chrom, pos, pos + ln, rem))
+    bed = b"\n".join(lines) + b"\n"
+    assert decompress_starch_bytes(compress_bed_bytes(bed)) == bed
