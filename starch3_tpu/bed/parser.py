@@ -59,8 +59,17 @@ def _parse_int_fields(arr: np.ndarray, starts: np.ndarray, ends: np.ndarray, wha
 
     Fixed-width positional parse: gather up to max_len digit columns,
     validate, and combine with powers of ten — the same fixed-shape
-    formulation the device tokenizer kernel uses.
+    formulation the device tokenizer kernel uses.  Dispatches to the
+    native runtime (runtime.cpp s3_parse_ints) when built.
     """
+    from starch3_tpu.runtime import parse_ints_native
+
+    try:
+        native = parse_ints_native(arr, starts, ends)
+    except ValueError as e:
+        raise BedParseError(f"{what}: {e}") from e
+    if native is not None:
+        return native
     lens = ends - starts
     if (lens <= 0).any():
         raise BedParseError(f"empty {what} field")

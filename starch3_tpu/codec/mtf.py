@@ -108,6 +108,14 @@ def mtf_rle2_from_ranks(ranks: np.ndarray, in_use: np.ndarray) -> MtfResult:
     host residue when the device pipeline computed the ranks (the BWT
     last column itself never has to leave the device)."""
     n_in_use = int(in_use.sum())
+    from starch3_tpu.runtime import rle2_from_ranks_native
+
+    native = rle2_from_ranks_native(ranks, n_in_use)
+    if native is not None:
+        symbols, freq = native
+        return MtfResult(
+            symbols=symbols, freq=freq, in_use=in_use, alpha_size=n_in_use + 2
+        )
     eob = n_in_use + 1
     alpha_size = n_in_use + 2
 

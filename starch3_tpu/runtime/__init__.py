@@ -86,6 +86,21 @@ def get_lib():
         ]
         lib.s3_bwt.restype = ctypes.c_int64
         lib.s3_bwt.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.s3_rle2_from_ranks.restype = ctypes.c_int64
+        lib.s3_rle2_from_ranks.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.s3_parse_ints.restype = ctypes.c_int64
+        lib.s3_parse_ints.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.s3_emit_decimals.restype = None
+        lib.s3_emit_decimals.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -152,6 +167,55 @@ def rle1_split_native(data: bytes, level: int):
     if nb < 0:
         return None
     return out, offsets[: nb + 1], bounds[:nb]
+
+
+def rle2_from_ranks_native(ranks: np.ndarray, n_in_use: int):
+    """(symbols int32[m], freq int64[alpha]) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ranks = np.ascontiguousarray(ranks, dtype=np.uint8)
+    out = np.empty(ranks.size + 2, dtype=np.uint16)
+    freq = np.zeros(n_in_use + 2, dtype=np.int64)
+    m = lib.s3_rle2_from_ranks(
+        ranks.ctypes.data, ranks.size, n_in_use, out.ctypes.data, freq.ctypes.data
+    )
+    return out[:m].astype(np.int32), freq
+
+
+def parse_ints_native(arr: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """int64 field values, or None; raises ValueError on a bad field."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    out = np.empty(starts.size, dtype=np.int64)
+    rc = lib.s3_parse_ints(
+        arr.ctypes.data, starts.ctypes.data, ends.ctypes.data, starts.size,
+        out.ctypes.data,
+    )
+    if rc < 0:
+        raise ValueError(f"bad integer field at record {-(rc + 1)}")
+    return out
+
+
+def emit_decimals_native(
+    out: np.ndarray, offsets: np.ndarray, vals: np.ndarray, lens: np.ndarray
+) -> bool:
+    lib = get_lib()
+    if lib is None:
+        return False
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    assert out.dtype == np.uint8 and out.flags.c_contiguous
+    lib.s3_emit_decimals(
+        out.ctypes.data, offsets.ctypes.data, vals.ctypes.data,
+        lens.ctypes.data, vals.size,
+    )
+    return True
 
 
 def bwt_native(block: np.ndarray):

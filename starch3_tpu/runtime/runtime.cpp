@@ -170,6 +170,93 @@ void s3_mtf_ranks(const int32_t* seq, int64_t n, int32_t n_sym, int32_t* out) {
 }
 
 // ---------------------------------------------------------------------------
+// RLE2 + zero-run coding from MTF ranks (the symbol-stream assembly of
+// codec/mtf.py mtf_rle2_from_ranks): zero runs become bijective-base-2
+// RUNA/RUNB digits, rank j -> symbol j+1, EOB appended.  Returns the
+// symbol count; fills freq[alpha].
+// ---------------------------------------------------------------------------
+int64_t s3_rle2_from_ranks(const uint8_t* ranks, int64_t n, int32_t n_in_use,
+                           uint16_t* out_syms, int64_t* out_freq) {
+    const int32_t eob = n_in_use + 1;
+    for (int32_t c = 0; c <= eob; c++) out_freq[c] = 0;
+    int64_t o = 0;
+    int64_t zrun = 0;
+    auto flush_zrun = [&]() {
+        int64_t m = zrun + 1;
+        while (m > 1) {
+            uint16_t d = (uint16_t)(m & 1);  // 0 RUNA, 1 RUNB
+            out_syms[o++] = d;
+            out_freq[d]++;
+            m >>= 1;
+        }
+        zrun = 0;
+    };
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t r = ranks[i];
+        if (r == 0) {
+            zrun++;
+            continue;
+        }
+        if (zrun) flush_zrun();
+        uint16_t sym = (uint16_t)(r + 1);
+        out_syms[o++] = sym;
+        out_freq[sym]++;
+    }
+    if (zrun) flush_zrun();
+    out_syms[o++] = (uint16_t)eob;
+    out_freq[eob]++;
+    return o;
+}
+
+// ---------------------------------------------------------------------------
+// Decimal field parsing: for each field arr[starts[i]:ends[i]) parse a
+// (possibly negative) int64.  Returns 0, or -1-i for the first bad field.
+// ---------------------------------------------------------------------------
+int64_t s3_parse_ints(const uint8_t* arr, const int64_t* starts,
+                      const int64_t* ends, int64_t count, int64_t* out) {
+    for (int64_t i = 0; i < count; i++) {
+        int64_t p = starts[i], e = ends[i];
+        if (p >= e) return -1 - i;
+        bool neg = arr[p] == '-';
+        if (neg) p++;
+        if (p >= e || e - p > 19) return -1 - i;
+        int64_t v = 0;
+        for (; p < e; p++) {
+            uint8_t d = arr[p] - '0';
+            if (d > 9) return -1 - i;
+            v = v * 10 + d;
+        }
+        out[i] = neg ? -v : v;
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Decimal emission: write each vals[i] as ASCII at out[offsets[i]]
+// (sign included); lens[i] must equal the decimal length.
+// ---------------------------------------------------------------------------
+void s3_emit_decimals(uint8_t* out, const int64_t* offsets,
+                      const int64_t* vals, const int64_t* lens,
+                      int64_t count) {
+    for (int64_t i = 0; i < count; i++) {
+        int64_t v = vals[i];
+        int64_t o = offsets[i];
+        int64_t digits_start = o;
+        if (v < 0) {
+            out[o] = '-';
+            v = -v;
+            digits_start = o + 1;
+        }
+        int64_t k = o + lens[i] - 1;
+        do {
+            out[k] = (uint8_t)('0' + (v % 10));
+            v /= 10;
+            k--;
+        } while (k >= digits_start);
+    }
+}
+
+// ---------------------------------------------------------------------------
 // RLE1 encode of one block's worth of input (no segmentation): writes the
 // 4+count form.  Returns output length.  in: bytes[n]; out sized n + n/4.
 // ---------------------------------------------------------------------------
@@ -330,9 +417,10 @@ static void sais(const int32_t* s, int32_t* sa, int64_t n, int32_t K,
         sa[0] = 0;
         return;
     }
-    // 1. classify: true = S-type
-    std::vector<bool> is_s((size_t)n);
-    is_s[n - 1] = true;
+    // 1. classify: 1 = S-type (plain byte array: vector<bool> bit ops are
+    // a measurable tax in the induce loops)
+    std::vector<uint8_t> is_s((size_t)n);
+    is_s[n - 1] = 1;
     for (int64_t i = n - 2; i >= 0; i--)
         is_s[i] = s[i] < s[i + 1] || (s[i] == s[i + 1] && is_s[i + 1]);
     auto is_lms = [&](int64_t i) {
@@ -381,21 +469,21 @@ static void sais(const int32_t* s, int32_t* sa, int64_t n, int32_t K,
         if (is_lms(i)) sa[--bkt[s[i]]] = (int32_t)i;
     induce();
 
-    // 3. name LMS substrings in sorted order
+    // 3. name LMS substrings in sorted order.  LMS positions are never
+    // adjacent, so a pos/2-indexed name table halves the footprint.
     int64_t n_lms = 0;
-    int32_t* lms_order = sa;  // reuse front of sa after extraction
     std::vector<int32_t> lms_sorted;
     lms_sorted.reserve((size_t)(n / 2 + 1));
     for (int64_t i = 0; i < n; i++)
         if (is_lms(sa[i])) lms_sorted.push_back(sa[i]);
     n_lms = (int64_t)lms_sorted.size();
-    std::vector<int32_t> name((size_t)n, -1);
+    std::vector<int32_t> name((size_t)(n / 2 + 1), -1);
     int32_t cur_name = 0;
     int64_t prev = -1;
     for (int64_t k = 0; k < n_lms; k++) {
         int64_t pos = lms_sorted[(size_t)k];
         if (prev == -1) {
-            name[(size_t)pos] = cur_name;
+            name[(size_t)(pos >> 1)] = cur_name;
         } else {
             // compare LMS substrings at prev and pos
             bool diff = false;
@@ -411,7 +499,7 @@ static void sais(const int32_t* s, int32_t* sa, int64_t n, int32_t K,
                 }
             }
             if (diff) cur_name++;
-            name[(size_t)pos] = cur_name;
+            name[(size_t)(pos >> 1)] = cur_name;
         }
         prev = pos;
     }
@@ -422,7 +510,7 @@ static void sais(const int32_t* s, int32_t* sa, int64_t n, int32_t K,
     lms_pos.reserve((size_t)n_lms);
     for (int64_t i = 1; i < n; i++)
         if (is_lms(i)) {
-            red.push_back(name[(size_t)i]);
+            red.push_back(name[(size_t)(i >> 1)]);
             lms_pos.push_back((int32_t)i);
         }
     // 4. order LMS suffixes
@@ -442,7 +530,6 @@ static void sais(const int32_t* s, int32_t* sa, int64_t n, int32_t K,
         sa[--bkt[s[pos]]] = pos;
     }
     induce();
-    (void)lms_order;
 }
 
 }  // namespace

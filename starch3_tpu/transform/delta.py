@@ -44,7 +44,16 @@ def _dec_len(vals: np.ndarray) -> np.ndarray:
 def _emit_decimals(
     out: np.ndarray, offsets: np.ndarray, vals: np.ndarray, lens: np.ndarray
 ) -> None:
-    """Write decimal text of vals at out[offsets], vectorized by digit column."""
+    """Write decimal text of vals at out[offsets], vectorized by digit column.
+
+    Dispatches to the native runtime (runtime.cpp s3_emit_decimals) when
+    built; the column formulation below is the fallback and mirrors the
+    device emission kernel.
+    """
+    from starch3_tpu.runtime import emit_decimals_native
+
+    if vals.size and emit_decimals_native(out, offsets, vals, lens):
+        return
     neg = vals < 0
     mag = np.abs(vals)
     out[offsets[neg]] = ord("-")
