@@ -73,6 +73,18 @@ def compress_bed_bytes(data: bytes, config: EncodeConfig | None = None) -> bytes
             level=config.block_size_100k,
             batch_size=config.blocks_per_batch,
         )
+    elif config.method is CompressionMethod.BZIP2 and transformed:
+        # host path: shared thread pool over every stream's blocks (the
+        # native stages release the GIL)
+        import os
+
+        from starch3_tpu.codec.encoder import encode_streams_host
+
+        streams = encode_streams_host(
+            [tf.text for tf in transformed],
+            level=config.block_size_100k,
+            workers=os.cpu_count(),
+        )
     else:
         streams = [_compress_stream(tf.text, config) for tf in transformed]
     for tf, compressed in zip(transformed, streams):

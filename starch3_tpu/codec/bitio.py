@@ -47,6 +47,31 @@ class BitWriter:
     def bit_length(self) -> int:
         return len(self._out) * 8 + self._nbits
 
+    def append_writer(self, other: "BitWriter") -> None:
+        """Splice another writer's bit stream onto this one (vectorized).
+
+        Lets independent workers build block bitstreams in parallel and
+        the assembler join them at arbitrary bit offsets: each of the
+        other's whole bytes is shifted by this writer's live bit count
+        with one numpy pass.
+        """
+        arr = np.frombuffer(bytes(other._out), dtype=np.uint8)
+        L = self._nbits
+        if L == 0:
+            self._out += other._out
+        elif arr.size:
+            mask = (1 << L) - 1
+            prev = np.empty(arr.size, dtype=np.uint8)
+            prev[0] = self._acc & mask
+            prev[1:] = arr[:-1] & mask
+            merged = ((prev.astype(np.uint16) << (8 - L)) | (arr >> L)).astype(
+                np.uint8
+            )
+            self._out += merged.tobytes()
+            self._acc = int(arr[-1]) & mask
+        if other._nbits:
+            self.write(other._acc, other._nbits)
+
     def getvalue(self) -> bytes:
         """Zero-pad the final partial byte and return the stream."""
         out = bytes(self._out)

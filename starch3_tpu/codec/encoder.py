@@ -123,25 +123,83 @@ def _write_block_tail(bw: BitWriter, crc: int, orig_ptr: int, mtf) -> None:
     bw.write_array(codes, lens)
 
 
-def bz2_compress(data: bytes, level: int = 9) -> bytes:
-    return bz2_compress_ex(data, level).data
+def bz2_compress(data: bytes, level: int = 9, workers: int | None = None) -> bytes:
+    return bz2_compress_ex(data, level, workers=workers).data
 
 
-def bz2_compress_ex(data: bytes, level: int = 9) -> EncodedStream:
-    """Compress ``data`` into a complete bzip2 stream (with block index)."""
+def encode_block_fragment(blk: Rle1Block) -> BitWriter:
+    """One block's bitstream as an unaligned fragment (thread-safe unit
+    of parallelism: the native stages release the GIL, so a thread pool
+    over blocks gets real multi-core scaling; fragments are spliced with
+    BitWriter.append_writer)."""
+    frag = BitWriter()
+    write_block(frag, blk)
+    return frag
+
+
+def encode_streams_host(
+    texts: list[bytes], level: int = 9, workers: int | None = None
+) -> list[bytes]:
+    """Compress many independent streams with one shared thread pool over
+    all their blocks (the host-path counterpart of
+    parallel/pipeline.encode_streams)."""
+    per_stream = [rle1_split_blocks(t, level) for t in texts]
+    flat = [blk for blocks in per_stream for blk in blocks]
+    if workers and workers > 1 and len(flat) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(workers) as ex:
+            frags = list(ex.map(encode_block_fragment, flat))
+    else:
+        frags = [encode_block_fragment(blk) for blk in flat]
+    out = []
+    it = iter(frags)
+    for blocks in per_stream:
+        bw = BitWriter()
+        bw.write_bytes_msb(b"BZh")
+        bw.write(0x30 + level, 8)
+        combined = 0
+        for blk in blocks:
+            combined = combine_block_crc(combined, blk.crc)
+            bw.append_writer(next(it))
+        bw.write(STREAM_END_MAGIC, 48)
+        bw.write(combined, 32)
+        out.append(bw.getvalue())
+    return out
+
+
+def bz2_compress_ex(
+    data: bytes, level: int = 9, workers: int | None = None
+) -> EncodedStream:
+    """Compress ``data`` into a complete bzip2 stream (with block index).
+
+    ``workers``: thread count for parallel block encoding (None = serial;
+    blocks are independent, output is identical regardless).
+    """
     if not 1 <= level <= 9:
         raise ValueError("level must be 1..9")
+    blocks = rle1_split_blocks(data, level)
+    if workers and workers > 1 and len(blocks) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(workers) as ex:
+            frags = list(ex.map(encode_block_fragment, blocks))
+    else:
+        frags = None
     bw = BitWriter()
     bw.write_bytes_msb(b"BZh")
     bw.write(0x30 + level, 8)
     combined = 0
     offsets = []
     crcs = []
-    for blk in rle1_split_blocks(data, level):
+    for i, blk in enumerate(blocks):
         offsets.append(bw.bit_length)
         crcs.append(blk.crc)
         combined = combine_block_crc(combined, blk.crc)
-        write_block(bw, blk)
+        if frags is not None:
+            bw.append_writer(frags[i])
+        else:
+            write_block(bw, blk)
     bw.write(STREAM_END_MAGIC, 48)
     bw.write(combined, 32)
     return EncodedStream(
