@@ -99,12 +99,19 @@ def compress_bed_bytes(data: bytes, config: EncodeConfig | None = None) -> bytes
     return writer.finish()
 
 
-def decompress_starch_bytes(data: bytes) -> bytes:
-    """.starch archive bytes -> BED text (byte-exact round trip)."""
+def decompress_starch_bytes(data: bytes, workers: int | None = None) -> bytes:
+    """.starch archive bytes -> BED text (byte-exact round trip).
+
+    Streams are independent, so decode runs them through a thread pool
+    (the native decoder releases the GIL); results concatenate in
+    metadata order regardless of completion order.
+    """
     reader = StarchReader.from_bytes(data)
-    parts = []
-    for meta, stream in reader.iter_streams():
-        text = _decompress_stream(stream, reader.metadata.compression_format)
+    fmt = reader.metadata.compression_format
+
+    def decode_one(item):
+        meta, stream = item
+        text = _decompress_stream(stream, fmt)
         if len(text) != meta.uncompressed_size:
             raise FormatError(
                 f"{meta.chromosome}: uncompressed size mismatch "
@@ -116,7 +123,20 @@ def decompress_starch_bytes(data: bytes) -> bytes:
                 f"{meta.chromosome}: line count mismatch "
                 f"({block.n_records} != {meta.line_count})"
             )
-        parts.append(write_bed_chrom(block))
+        return write_bed_chrom(block)
+
+    items = list(reader.iter_streams())
+    if workers is None:
+        import os
+
+        workers = os.cpu_count() or 1
+    if workers > 1 and len(items) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(workers) as ex:
+            parts = list(ex.map(decode_one, items))
+    else:
+        parts = [decode_one(it) for it in items]
     return b"".join(parts)
 
 
