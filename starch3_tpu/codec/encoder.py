@@ -132,7 +132,16 @@ def encode_block_fragment(blk: Rle1Block) -> BitWriter:
     of parallelism: the native stages release the GIL, so a thread pool
     over blocks gets real multi-core scaling; fragments are spliced with
     BitWriter.append_writer)."""
+    from starch3_tpu.runtime import encode_block_native
+
+    native = encode_block_native(blk.data, blk.crc)
     frag = BitWriter()
+    if native is not None:
+        out, tail, tail_nbits = native
+        frag._out += out
+        frag._acc = tail
+        frag._nbits = tail_nbits
+        return frag
     write_block(frag, blk)
     return frag
 
@@ -196,10 +205,7 @@ def bz2_compress_ex(
         offsets.append(bw.bit_length)
         crcs.append(blk.crc)
         combined = combine_block_crc(combined, blk.crc)
-        if frags is not None:
-            bw.append_writer(frags[i])
-        else:
-            write_block(bw, blk)
+        bw.append_writer(frags[i] if frags is not None else encode_block_fragment(blk))
     bw.write(STREAM_END_MAGIC, 48)
     bw.write(combined, 32)
     return EncodedStream(

@@ -91,6 +91,12 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.s3_encode_block.restype = ctypes.c_int64
+        lib.s3_encode_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint32,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.s3_parse_ints.restype = ctypes.c_int64
         lib.s3_parse_ints.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -216,6 +222,26 @@ def emit_decimals_native(
         lens.ctypes.data, vals.size,
     )
     return True
+
+
+def encode_block_native(data: bytes, crc: int):
+    """Full post-RLE1 block encode (runtime.cpp s3_encode_block):
+    (fragment_bytes, tail_acc, tail_nbits) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    cap = arr.size * 3 + 8192
+    out = np.empty(cap, dtype=np.uint8)
+    tail = ctypes.c_uint64()
+    tail_nbits = ctypes.c_int32()
+    n = lib.s3_encode_block(
+        arr.ctypes.data, arr.size, crc, out.ctypes.data, cap,
+        ctypes.byref(tail), ctypes.byref(tail_nbits),
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes(), int(tail.value), int(tail_nbits.value)
 
 
 def bwt_native(block: np.ndarray):

@@ -408,65 +408,66 @@ int64_t s3_rle1_split(const uint8_t* in, int64_t n, int32_t level,
 // the shorter suffix hits the sentinel, which sorts first — so the
 // larger start index wins (codec/bwt.py documents the tie evidence).
 // ---------------------------------------------------------------------------
+extern "C++" {  // template: C++ linkage island inside the C ABI block
 namespace {
 
-static void sais(const int32_t* s, int32_t* sa, int64_t n, int32_t K,
-                 int32_t* work) {
-    // s[n-1] must be the unique smallest symbol (sentinel).
+// Core over a pre-packed array p[i] = (symbol << 1) | s_type: the induce
+// loops' random access touches one array (one cache line per probe)
+// instead of separate symbol and type arrays, and bucket counts are taken
+// once per level.  P is uint16_t while (K << 1) | 1 fits (level 0:
+// symbols 0..256), int32_t for large reduced alphabets.
+template <typename P>
+static void sais_core(const P* p, int32_t* sa, int64_t n, int32_t K) {
     if (n == 1) {
         sa[0] = 0;
         return;
     }
-    // 1. classify: 1 = S-type (plain byte array: vector<bool> bit ops are
-    // a measurable tax in the induce loops)
-    std::vector<uint8_t> is_s((size_t)n);
-    is_s[n - 1] = 1;
-    for (int64_t i = n - 2; i >= 0; i--)
-        is_s[i] = s[i] < s[i + 1] || (s[i] == s[i + 1] && is_s[i + 1]);
     auto is_lms = [&](int64_t i) {
-        return i > 0 && is_s[i] && !is_s[i - 1];
+        return i > 0 && (p[i] & 1) && !(p[i - 1] & 1);
     };
-    // bucket counts
-    int32_t* bkt = work;  // K entries
+    std::vector<int32_t> cnt((size_t)K, 0), bkt((size_t)K);
+    for (int64_t i = 0; i < n; i++) cnt[(size_t)(p[i] >> 1)]++;
     auto bucket_ends = [&]() {
-        for (int32_t c = 0; c < K; c++) bkt[c] = 0;
-        for (int64_t i = 0; i < n; i++) bkt[s[i]]++;
         int32_t sum = 0;
         for (int32_t c = 0; c < K; c++) {
-            sum += bkt[c];
-            bkt[c] = sum;  // exclusive end
+            sum += cnt[(size_t)c];
+            bkt[(size_t)c] = sum;  // exclusive end
         }
     };
     auto bucket_starts = [&]() {
-        for (int32_t c = 0; c < K; c++) bkt[c] = 0;
-        for (int64_t i = 0; i < n; i++) bkt[s[i]]++;
         int32_t sum = 0;
         for (int32_t c = 0; c < K; c++) {
-            int32_t t = bkt[c];
-            bkt[c] = sum;
-            sum += t;
+            bkt[(size_t)c] = sum;
+            sum += cnt[(size_t)c];
         }
     };
     auto induce = [&]() {
         // induce L from sorted LMS/S positions already in sa
         bucket_starts();
+        int32_t* b = bkt.data();
         for (int64_t i = 0; i < n; i++) {
             int64_t j = sa[i];
-            if (j > 0 && !is_s[j - 1]) sa[bkt[s[j - 1]]++] = (int32_t)(j - 1);
+            if (j > 0) {
+                P w = p[j - 1];
+                if (!(w & 1)) sa[b[w >> 1]++] = (int32_t)(j - 1);
+            }
         }
         // induce S
         bucket_ends();
         for (int64_t i = n - 1; i >= 0; i--) {
             int64_t j = sa[i];
-            if (j > 0 && is_s[j - 1]) sa[--bkt[s[j - 1]]] = (int32_t)(j - 1);
+            if (j > 0) {
+                P w = p[j - 1];
+                if (w & 1) sa[--b[w >> 1]] = (int32_t)(j - 1);
+            }
         }
     };
 
     // 2. first pass: place LMS suffixes at bucket ends (arbitrary order)
-    for (int64_t i = 0; i < n; i++) sa[i] = -1;
+    memset(sa, 0xFF, (size_t)n * sizeof(int32_t));  // -1
     bucket_ends();
     for (int64_t i = 1; i < n; i++)
-        if (is_lms(i)) sa[--bkt[s[i]]] = (int32_t)i;
+        if (is_lms(i)) sa[--bkt[(size_t)(p[i] >> 1)]] = (int32_t)i;
     induce();
 
     // 3. name LMS substrings in sorted order.  LMS positions are never
@@ -485,11 +486,11 @@ static void sais(const int32_t* s, int32_t* sa, int64_t n, int32_t K,
         if (prev == -1) {
             name[(size_t)(pos >> 1)] = cur_name;
         } else {
-            // compare LMS substrings at prev and pos
+            // compare LMS substrings at prev and pos (packed compare ==
+            // symbol + type compare)
             bool diff = false;
             for (int64_t d = 0;; d++) {
-                if (s[prev + d] != s[pos + d] ||
-                    is_s[(size_t)(prev + d)] != is_s[(size_t)(pos + d)]) {
+                if (p[prev + d] != p[pos + d]) {
                     diff = true;
                     break;
                 }
@@ -519,20 +520,48 @@ static void sais(const int32_t* s, int32_t* sa, int64_t n, int32_t K,
         for (int64_t k = 0; k < n_lms; k++)
             lms_sa[(size_t)red[(size_t)k]] = (int32_t)k;
     } else {
-        std::vector<int32_t> subwork((size_t)(cur_name + 1));
-        sais(red.data(), lms_sa.data(), n_lms, cur_name + 1, subwork.data());
+        // recurse: pack the reduced string (sentinel = its last symbol,
+        // unique smallest by construction)
+        int32_t subK = cur_name + 1;
+        if ((((int64_t)subK << 1) | 1) <= 0xFFFF) {
+            std::vector<uint16_t> sub((size_t)n_lms);
+            uint8_t st = 1;
+            sub[(size_t)(n_lms - 1)] =
+                (uint16_t)((red[(size_t)(n_lms - 1)] << 1) | 1);
+            for (int64_t i = n_lms - 2; i >= 0; i--) {
+                st = red[(size_t)i] < red[(size_t)(i + 1)] ||
+                             (red[(size_t)i] == red[(size_t)(i + 1)] && st)
+                         ? 1
+                         : 0;
+                sub[(size_t)i] = (uint16_t)((red[(size_t)i] << 1) | st);
+            }
+            sais_core<uint16_t>(sub.data(), lms_sa.data(), n_lms, subK);
+        } else {
+            std::vector<int32_t> sub((size_t)n_lms);
+            uint8_t st = 1;
+            sub[(size_t)(n_lms - 1)] = (red[(size_t)(n_lms - 1)] << 1) | 1;
+            for (int64_t i = n_lms - 2; i >= 0; i--) {
+                st = red[(size_t)i] < red[(size_t)(i + 1)] ||
+                             (red[(size_t)i] == red[(size_t)(i + 1)] && st)
+                         ? 1
+                         : 0;
+                sub[(size_t)i] = (red[(size_t)i] << 1) | st;
+            }
+            sais_core<int32_t>(sub.data(), lms_sa.data(), n_lms, subK);
+        }
     }
     // 5. final induce with LMS in sorted order
-    for (int64_t i = 0; i < n; i++) sa[i] = -1;
+    memset(sa, 0xFF, (size_t)n * sizeof(int32_t));
     bucket_ends();
     for (int64_t k = n_lms - 1; k >= 0; k--) {
         int32_t pos = lms_pos[(size_t)lms_sa[(size_t)k]];
-        sa[--bkt[s[pos]]] = pos;
+        sa[--bkt[(size_t)(p[pos] >> 1)]] = pos;
     }
     induce();
 }
 
 }  // namespace
+}  // extern "C++"
 
 // BWT of one block: returns orig_ptr, fills last[n].
 int64_t s3_bwt(const uint8_t* block, int64_t n, uint8_t* last) {
@@ -542,25 +571,31 @@ int64_t s3_bwt(const uint8_t* block, int64_t n, uint8_t* last) {
         return 0;
     }
     const int64_t m = 2 * n + 1;
-    std::vector<int32_t> s((size_t)m);
-    for (int64_t i = 0; i < n; i++) {
-        s[(size_t)i] = (int32_t)block[i] + 1;
-        s[(size_t)(i + n)] = (int32_t)block[i] + 1;
+    // packed doubled string: symbol = byte + 1, sentinel 0 at the end
+    std::vector<uint16_t> p((size_t)m);
+    p[(size_t)(m - 1)] = (0 << 1) | 1;  // sentinel, S-type
+    {
+        uint8_t st = 0;  // s[m-2] = block[n-1]+1 > 0 = sentinel -> L-type
+        p[(size_t)(m - 2)] = (uint16_t)(((int32_t)block[n - 1] + 1) << 1);
+        for (int64_t i = m - 3; i >= 0; i--) {
+            uint8_t c = block[i < n ? i : i - n];
+            uint8_t c1 = block[(i + 1) < n ? (i + 1) : (i + 1 - n)];
+            st = c < c1 || (c == c1 && st) ? 1 : 0;
+            p[(size_t)i] = (uint16_t)((((int32_t)c + 1) << 1) | st);
+        }
     }
-    s[(size_t)(m - 1)] = 0;  // unique smallest sentinel
     std::vector<int32_t> sa((size_t)m);
-    std::vector<int32_t> work(257);
-    sais(s.data(), sa.data(), m, 257, work.data());
+    sais_core<uint16_t>(p.data(), sa.data(), m, 257);
     int64_t orig_ptr = -1;
     int64_t o = 0;
     for (int64_t i = 0; i < m; i++) {
-        int32_t p = sa[(size_t)i];
-        if (p >= n) continue;  // keep suffixes starting in the first copy
-        if (p == 0) {
+        int32_t q = sa[(size_t)i];
+        if (q >= n) continue;  // keep suffixes starting in the first copy
+        if (q == 0) {
             orig_ptr = o;
             last[o++] = block[n - 1];
         } else {
-            last[o++] = block[p - 1];
+            last[o++] = block[q - 1];
         }
     }
     return orig_ptr;
@@ -837,6 +872,227 @@ int64_t s3_bz2_decompress(const uint8_t* in, int64_t in_len, uint8_t* out,
         if (crc != block_crc) return -3;
         combined = ((combined << 1) | (combined >> 31)) ^ crc;
     }
+}
+
+// ---------------------------------------------------------------------------
+// Full single-block encode: post-RLE1 block bytes -> bzip2 block bitstream
+// fragment (unaligned; whole bytes + tail bits, splice-ready for
+// codec/bitio.BitWriter.append_writer).  This is the native consolidation
+// of codec/encoder.write_block: BWT rotation sort, dense symbol map, MTF,
+// RLE2 zero-run coding, the multi-table Huffman refinement of
+// codec/huffman.build_plan (the behavioral spec, validated bit-for-bit
+// against libbz2), and MSB-first serialization — one C call per block so
+// a thread pool over blocks scales without Python in the loop.
+// Returns whole bytes written, or -1 (capacity/error).
+// ---------------------------------------------------------------------------
+namespace {
+
+struct BitW {
+    uint8_t* out;
+    int64_t cap;
+    int64_t n = 0;
+    uint64_t reg = 0;
+    int live = 0;
+    bool ok = true;
+    inline void put(uint64_t v, int nb) {
+        if (nb == 0) return;
+        reg = (reg << nb) | (v & ((1ULL << nb) - 1));
+        live += nb;
+        while (live >= 8) {
+            live -= 8;
+            if (n >= cap) {
+                ok = false;
+                return;
+            }
+            out[n++] = (uint8_t)(reg >> live);
+        }
+        reg &= (1ULL << live) - 1;
+    }
+};
+
+}  // namespace
+
+int64_t s3_encode_block(const uint8_t* block, int64_t n, uint32_t crc,
+                        uint8_t* out, int64_t out_cap, uint64_t* tail,
+                        int32_t* tail_nbits) {
+    if (n <= 0) return -1;
+    // --- BWT rotation sort ------------------------------------------------
+    std::vector<uint8_t> last((size_t)n);
+    int64_t orig_ptr = s3_bwt(block, n, last.data());
+    if (orig_ptr < 0) return -1;
+    // --- dense symbol map -------------------------------------------------
+    uint8_t map[256];
+    bool in_use[256] = {false};
+    for (int64_t i = 0; i < n; i++) in_use[last[i]] = true;
+    int n_in_use = 0;
+    for (int c = 0; c < 256; c++)
+        if (in_use[c]) map[c] = (uint8_t)n_in_use++;
+    // --- MTF ranks (dense alphabet list walk) -----------------------------
+    std::vector<uint8_t> ranks((size_t)n);
+    {
+        uint8_t list[256];
+        for (int i = 0; i < n_in_use; i++) list[i] = (uint8_t)i;
+        for (int64_t i = 0; i < n; i++) {
+            uint8_t s = map[last[i]];
+            if (list[0] == s) {
+                ranks[i] = 0;
+                continue;
+            }
+            uint8_t prev = list[0];
+            int j = 1;
+            while (list[j] != s) {
+                uint8_t t = list[j];
+                list[j] = prev;
+                prev = t;
+                j++;
+            }
+            list[j] = prev;
+            list[0] = s;
+            ranks[i] = (uint8_t)j;
+        }
+    }
+    // --- RLE2 symbol stream ----------------------------------------------
+    const int alpha = n_in_use + 2;
+    std::vector<uint16_t> syms((size_t)(n + 2));
+    int64_t freq[258];
+    int64_t n_mtf =
+        s3_rle2_from_ranks(ranks.data(), n, n_in_use, syms.data(), freq);
+    // --- Huffman plan: initial contiguous frequency-mass split ------------
+    int n_groups = n_mtf < 200 ? 2
+                 : n_mtf < 600 ? 3
+                 : n_mtf < 1200 ? 4
+                 : n_mtf < 2400 ? 5
+                                : 6;
+    int32_t len[6][258];
+    {
+        int64_t rem_f = n_mtf;
+        int gs = 0;
+        for (int n_part = n_groups; n_part >= 1; n_part--) {
+            int64_t t_freq = rem_f / n_part;
+            int ge = gs - 1;
+            int64_t a_freq = 0;
+            while (a_freq < t_freq && ge < alpha - 1) {
+                ge++;
+                a_freq += freq[ge];
+            }
+            if (ge > gs && n_part != n_groups && n_part != 1 &&
+                ((n_groups - n_part) % 2 == 1)) {
+                a_freq -= freq[ge];
+                ge--;
+            }
+            for (int s = 0; s < alpha; s++)
+                len[n_part - 1][s] = (s >= gs && s <= ge) ? 0 : 15;
+            gs = ge + 1;
+            rem_f -= a_freq;
+        }
+    }
+    // --- 4 refinement iterations -----------------------------------------
+    const int64_t n_sel = (n_mtf + 49) / 50;
+    std::vector<uint8_t> sels((size_t)n_sel);
+    int64_t rfreq[6][258];
+    for (int it = 0; it < 4; it++) {
+        for (int t = 0; t < n_groups; t++)
+            for (int s = 0; s < alpha; s++) rfreq[t][s] = 0;
+        for (int64_t g = 0; g < n_sel; g++) {
+            int64_t b = g * 50;
+            int64_t e = b + 50 < n_mtf ? b + 50 : n_mtf;
+            int32_t cost[6] = {0, 0, 0, 0, 0, 0};
+            for (int64_t i = b; i < e; i++) {
+                uint16_t s = syms[(size_t)i];
+                for (int t = 0; t < n_groups; t++) cost[t] += len[t][s];
+            }
+            int best = 0;
+            for (int t = 1; t < n_groups; t++)
+                if (cost[t] < cost[best]) best = t;
+            sels[(size_t)g] = (uint8_t)best;
+            int64_t* rf = rfreq[best];
+            for (int64_t i = b; i < e; i++) rf[syms[(size_t)i]]++;
+        }
+        for (int t = 0; t < n_groups; t++)
+            if (s3_make_code_lengths(rfreq[t], alpha, 17, len[t]) != 0)
+                return -1;
+    }
+    // --- canonical codes --------------------------------------------------
+    int32_t codes[6][258];
+    for (int t = 0; t < n_groups; t++) {
+        int mn = 32, mx = 0;
+        for (int s = 0; s < alpha; s++) {
+            if (len[t][s] < mn) mn = len[t][s];
+            if (len[t][s] > mx) mx = len[t][s];
+        }
+        int32_t vec = 0;
+        for (int l = mn; l <= mx; l++) {
+            for (int s = 0; s < alpha; s++)
+                if (len[t][s] == l) codes[t][s] = vec++;
+            vec <<= 1;
+        }
+    }
+    // --- serialize --------------------------------------------------------
+    BitW bw{out, out_cap};
+    bw.put(0x314159ULL, 24);
+    bw.put(0x265359ULL, 24);
+    bw.put(crc, 32);
+    bw.put(0, 1);  // randomised: never (1.0.x compressor)
+    bw.put((uint64_t)orig_ptr, 24);
+    // used-byte map
+    uint32_t gmask = 0;
+    for (int g = 0; g < 16; g++) {
+        bool any = false;
+        for (int b = 0; b < 16; b++) any |= in_use[g * 16 + b];
+        gmask = (gmask << 1) | (any ? 1 : 0);
+    }
+    bw.put(gmask, 16);
+    for (int g = 0; g < 16; g++) {
+        if (!((gmask >> (15 - g)) & 1)) continue;
+        uint32_t bits = 0;
+        for (int b = 0; b < 16; b++)
+            bits = (bits << 1) | (in_use[g * 16 + b] ? 1 : 0);
+        bw.put(bits, 16);
+    }
+    bw.put((uint64_t)n_groups, 3);
+    bw.put((uint64_t)n_sel, 15);
+    // selectors: MTF then unary
+    {
+        uint8_t pos[6] = {0, 1, 2, 3, 4, 5};
+        for (int64_t i = 0; i < n_sel; i++) {
+            uint8_t s = sels[(size_t)i];
+            int j = 0;
+            while (pos[j] != s) j++;
+            for (int t = j; t > 0; t--) pos[t] = pos[t - 1];
+            pos[0] = s;
+            bw.put((((uint64_t)1 << j) - 1) << 1, j + 1);  // j ones, a zero
+        }
+    }
+    // tables: delta-coded lengths
+    for (int t = 0; t < n_groups; t++) {
+        int curr = len[t][0];
+        bw.put((uint64_t)curr, 5);
+        for (int s = 0; s < alpha; s++) {
+            while (curr < len[t][s]) {
+                bw.put(0b10, 2);
+                curr++;
+            }
+            while (curr > len[t][s]) {
+                bw.put(0b11, 2);
+                curr--;
+            }
+            bw.put(0, 1);
+        }
+    }
+    // coded data
+    for (int64_t g = 0; g < n_sel; g++) {
+        const int t = sels[(size_t)g];
+        const int64_t b = g * 50;
+        const int64_t e = b + 50 < n_mtf ? b + 50 : n_mtf;
+        for (int64_t i = b; i < e; i++) {
+            uint16_t s = syms[(size_t)i];
+            bw.put((uint64_t)codes[t][s], len[t][s]);
+        }
+    }
+    if (!bw.ok) return -1;
+    *tail = bw.reg;
+    *tail_nbits = bw.live;
+    return bw.n;
 }
 
 }  // extern "C"
