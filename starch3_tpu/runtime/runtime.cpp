@@ -18,6 +18,7 @@
 // Every function has a NumPy fallback in Python; the loader
 // (runtime/__init__.py) decides per-process.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -560,6 +561,200 @@ static void sais_core(const P* p, int32_t* sa, int64_t n, int32_t K) {
     induce();
 }
 
+// ---------------------------------------------------------------------------
+// Fast rotation sort: two-byte counting radix into 64K buckets, ternary
+// multikey quicksort inside each sub-bucket, and Seward's induced-copy
+// step (a fully sorted major bucket [c] derives every [d][c] column by one
+// scan over predecessors).  A byte-comparison budget bails out on
+// pathological inputs; the caller then reruns the block through the SA-IS
+// path, which produces the identical total order (rotation lexicographic,
+// equal rotations by descending start index) — so output bytes never
+// depend on which sorter ran.
+// ---------------------------------------------------------------------------
+
+struct RotCtx {
+    const uint8_t* db;  // doubled block (2n bytes)
+    int64_t n;
+    int64_t budget;  // byte-comparison budget; <0 -> give up
+};
+
+// full compare of rotations a,b from byte `depth` on; true if rot(a) < rot(b)
+static bool rot_less(RotCtx& cx, int32_t a, int32_t b, int64_t depth) {
+    const uint8_t* pa = cx.db + a + depth;
+    const uint8_t* pb = cx.db + b + depth;
+    int64_t rem = cx.n - depth;
+    for (int64_t d = 0; d < rem; d++) {
+        if (pa[d] != pb[d]) {
+            cx.budget -= d + 1;
+            return pa[d] < pb[d];
+        }
+    }
+    cx.budget -= rem;
+    return a > b;  // equal rotations: descending start index first
+}
+
+static void rot_insertion(RotCtx& cx, int32_t* ptr, int64_t lo, int64_t hi,
+                          int64_t depth) {
+    for (int64_t i = lo + 1; i < hi; i++) {
+        int32_t v = ptr[i];
+        int64_t j = i;
+        while (j > lo && rot_less(cx, v, ptr[j - 1], depth)) {
+            ptr[j] = ptr[j - 1];
+            j--;
+            if (cx.budget < 0) return;
+        }
+        ptr[j] = v;
+    }
+}
+
+static void rot_mkqs(RotCtx& cx, int32_t* ptr, int64_t lo, int64_t hi,
+                     int64_t depth) {
+    while (hi - lo > 1) {
+        if (cx.budget < 0) return;
+        if (hi - lo < 12) {
+            rot_insertion(cx, ptr, lo, hi, depth);
+            return;
+        }
+        if (depth >= cx.n) {
+            // equal rotations: descending start index
+            std::sort(ptr + lo, ptr + hi,
+                      [](int32_t a, int32_t b) { return a > b; });
+            return;
+        }
+        // median-of-3 pivot byte at this depth
+        const uint8_t* db = cx.db;
+        uint8_t p1 = db[ptr[lo] + depth];
+        uint8_t p2 = db[ptr[(lo + hi) >> 1] + depth];
+        uint8_t p3 = db[ptr[hi - 1] + depth];
+        uint8_t pv = p1 < p2 ? (p2 < p3 ? p2 : (p1 < p3 ? p3 : p1))
+                             : (p1 < p3 ? p1 : (p2 < p3 ? p3 : p2));
+        // ternary partition
+        int64_t lt = lo, i = lo, gt = hi;
+        while (i < gt) {
+            uint8_t c = db[ptr[i] + depth];
+            if (c < pv) {
+                int32_t t = ptr[lt];
+                ptr[lt] = ptr[i];
+                ptr[i] = t;
+                lt++;
+                i++;
+            } else if (c > pv) {
+                gt--;
+                int32_t t = ptr[gt];
+                ptr[gt] = ptr[i];
+                ptr[i] = t;
+            } else {
+                i++;
+            }
+        }
+        cx.budget -= hi - lo;
+        // recurse smaller sides, iterate on the equal run at depth+1
+        if (lt - lo < hi - gt) {
+            rot_mkqs(cx, ptr, lo, lt, depth);
+            rot_mkqs(cx, ptr, gt, hi, depth);
+        } else {
+            rot_mkqs(cx, ptr, gt, hi, depth);
+            rot_mkqs(cx, ptr, lo, lt, depth);
+        }
+        lo = lt;
+        hi = gt;
+        depth++;
+    }
+}
+
+// Returns true on success (ptr[0..n) = sorted rotation starts).
+static bool rot_sort(const uint8_t* block, int64_t n, int32_t* ptr) {
+    // Exactly periodic blocks have equal rotations, whose descending-index
+    // tie order the induced-copy step cannot guarantee (it inherits order
+    // across the wraparound).  Non-periodic blocks cannot have equal
+    // rotations, making every ordering decision below comparison-driven
+    // and provably correct — so gate on the KMP smallest period.
+    {
+        std::vector<int32_t> pi((size_t)n);
+        pi[0] = 0;
+        int32_t k = 0;
+        for (int64_t i = 1; i < n; i++) {
+            while (k > 0 && block[i] != block[k]) k = pi[(size_t)(k - 1)];
+            if (block[i] == block[k]) k++;
+            pi[(size_t)i] = k;
+        }
+        int64_t p = n - pi[(size_t)(n - 1)];
+        if (p < n && n % p == 0) return false;  // periodic -> SA-IS path
+    }
+    std::vector<uint8_t> dbv((size_t)(2 * n));
+    memcpy(dbv.data(), block, (size_t)n);
+    memcpy(dbv.data() + n, block, (size_t)n);
+    const uint8_t* db = dbv.data();
+    // 2-byte histogram
+    std::vector<int64_t> ftab(65537, 0);
+    for (int64_t i = 0; i < n; i++)
+        ftab[((int32_t)db[i] << 8) | db[i + 1]]++;
+    int64_t sum = 0;
+    for (int64_t b = 0; b <= 65536; b++) {
+        int64_t t = b < 65536 ? ftab[b] : 0;
+        ftab[b] = sum;  // start of bucket b
+        sum += t;
+    }
+    {
+        std::vector<int64_t> fill(ftab.begin(), ftab.end() - 1);
+        for (int64_t i = 0; i < n; i++)
+            ptr[fill[((int32_t)db[i] << 8) | db[i + 1]]++] = (int32_t)i;
+    }
+    RotCtx cx{db, n, 12 * n + 65536};
+    // process major buckets smallest-total first
+    int order[256];
+    {
+        int64_t tot[256];
+        for (int b = 0; b < 256; b++) {
+            order[b] = b;
+            tot[b] = ftab[(int64_t)(b + 1) << 8] - ftab[(int64_t)b << 8];
+        }
+        std::sort(order, order + 256,
+                  [&](int a, int b2) { return tot[a] < tot[b2]; });
+    }
+    bool big_done[256] = {false};
+    bool small_done[65536] = {false};
+    int64_t copy_start[256], copy_end[256];
+    for (int bi = 0; bi < 256; bi++) {
+        const int ss = order[bi];
+        // sort each live sub-bucket [ss][j], j != ss
+        for (int j = 0; j < 256; j++) {
+            if (j == ss) continue;
+            const int64_t sb = ((int64_t)ss << 8) | j;
+            if (small_done[sb]) continue;
+            int64_t lo = ftab[sb], hi = ftab[sb + 1];
+            if (hi - lo > 1) {
+                rot_mkqs(cx, ptr, lo, hi, 2);
+                if (cx.budget < 0) return false;
+            }
+            small_done[sb] = true;
+        }
+        // induced copy: big bucket ss is now fully sorted (the [ss][ss]
+        // sub-bucket fills itself during the scans below)
+        for (int j = 0; j < 256; j++) {
+            copy_start[j] = ftab[((int64_t)j << 8) | ss];
+            copy_end[j] = ftab[(((int64_t)j << 8) | ss) + 1] - 1;
+        }
+        for (int64_t i = ftab[(int64_t)ss << 8]; i < copy_start[ss]; i++) {
+            int64_t k = ptr[i] - 1;
+            if (k < 0) k += n;
+            uint8_t c1 = db[k];
+            if (!big_done[c1]) ptr[copy_start[c1]++] = (int32_t)k;
+        }
+        for (int64_t i = ftab[(int64_t)(ss + 1) << 8] - 1; i > copy_end[ss];
+             i--) {
+            int64_t k = ptr[i] - 1;
+            if (k < 0) k += n;
+            uint8_t c1 = db[k];
+            if (!big_done[c1]) ptr[copy_end[c1]--] = (int32_t)k;
+        }
+        for (int j = 0; j < 256; j++)
+            small_done[((int64_t)j << 8) | ss] = true;
+        big_done[ss] = true;
+    }
+    return true;
+}
+
 }  // namespace
 }  // extern "C++"
 
@@ -569,6 +764,24 @@ int64_t s3_bwt(const uint8_t* block, int64_t n, uint8_t* last) {
     if (n == 1) {
         last[0] = block[0];
         return 0;
+    }
+    // fast path: radix + multikey quicksort rotation sort (identical
+    // total order; bails to SA-IS on pathological repetitiveness)
+    if (n >= 16) {
+        std::vector<int32_t> ptr((size_t)n);
+        if (rot_sort(block, n, ptr.data())) {
+            int64_t orig_ptr = -1;
+            for (int64_t i = 0; i < n; i++) {
+                int32_t q = ptr[(size_t)i];
+                if (q == 0) {
+                    orig_ptr = i;
+                    last[i] = block[n - 1];
+                } else {
+                    last[i] = block[q - 1];
+                }
+            }
+            return orig_ptr;
+        }
     }
     const int64_t m = 2 * n + 1;
     // packed doubled string: symbol = byte + 1, sentinel 0 at the end
