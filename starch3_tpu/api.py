@@ -57,11 +57,37 @@ def _decompress_stream(data: bytes, compression_format: str) -> bytes:
     raise UnsupportedCodecError(f"unknown codec {compression_format!r}")
 
 
+def _parse_transform(data: bytes):
+    """Parse + transform, preferring the fused native single pass
+    (runtime.cpp s3_bed_transform); the NumPy path is the behavioral
+    reference, the fallback, and the source of exact parse diagnostics."""
+    from starch3_tpu.runtime import bed_transform_native
+    from starch3_tpu.transform.delta import TransformedChrom
+
+    native = bed_transform_native(data)
+    if native is not None:
+        chroms = [t[0] for t in native]
+        if len(set(chroms)) == len(chroms):
+            return [
+                TransformedChrom(
+                    chrom=c,
+                    text=text,
+                    line_count=lc,
+                    base_count_nonunique=nu,
+                    base_count_unique=u,
+                )
+                for c, text, lc, nu, u in native
+            ]
+        # duplicate (non-contiguous) chromosomes: let the NumPy parser
+        # raise its exact error
+    return [transform_chrom(b) for b in parse_bed(data)]
+
+
 def compress_bed_bytes(data: bytes, config: EncodeConfig | None = None) -> bytes:
     """BED text -> .starch archive bytes."""
     config = config or EncodeConfig()
     writer = StarchWriter(note=config.note, compression=config.method.value)
-    transformed = [transform_chrom(b) for b in parse_bed(data)]
+    transformed = _parse_transform(data)
     if config.use_jax and config.method is CompressionMethod.BZIP2 and transformed:
         # one global device queue across all chromosomes: blocks from
         # every stream share batches, so N small chromosomes cost ~N/batch

@@ -91,6 +91,13 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.s3_bed_transform.restype = ctypes.c_int64
+        lib.s3_bed_transform.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.s3_encode_block.restype = ctypes.c_int64
         lib.s3_encode_block.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint32,
@@ -222,6 +229,52 @@ def emit_decimals_native(
         lens.ctypes.data, vals.size,
     )
     return True
+
+
+def bed_transform_native(data: bytes):
+    """Fused BED parse + delta transform (runtime.cpp s3_bed_transform).
+
+    Returns a list of (chrom_name: str, text: bytes, line_count,
+    base_count_nonunique, base_count_unique) in input order, or None to
+    fall back to the NumPy path (unavailable runtime, or any parse error
+    — the fallback re-raises with exact diagnostics).
+    """
+    lib = get_lib()
+    if lib is None or not data:
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n_lines = int(np.count_nonzero(arr == 0x0A)) + 1
+    out_cap = arr.size + 48 * n_lines + 64
+    out = np.empty(out_cap, dtype=np.uint8)
+    max_chroms = min(n_lines + 1, 1 << 20)
+    text_offsets = np.zeros(max_chroms + 1, dtype=np.int64)
+    name_offsets = np.empty(max_chroms, dtype=np.int64)
+    name_lens = np.empty(max_chroms, dtype=np.int64)
+    line_counts = np.empty(max_chroms, dtype=np.int64)
+    nonuniq = np.empty(max_chroms, dtype=np.int64)
+    uniq = np.empty(max_chroms, dtype=np.int64)
+    nc = lib.s3_bed_transform(
+        arr.ctypes.data, arr.size, out.ctypes.data, out_cap, max_chroms,
+        text_offsets.ctypes.data, name_offsets.ctypes.data,
+        name_lens.ctypes.data, line_counts.ctypes.data,
+        nonuniq.ctypes.data, uniq.ctypes.data,
+    )
+    if nc < 0:
+        return None
+    buf = out[: int(text_offsets[nc])].tobytes()
+    result = []
+    for k in range(nc):
+        name = data[name_offsets[k] : name_offsets[k] + name_lens[k]]
+        result.append(
+            (
+                name.decode("ascii"),
+                buf[text_offsets[k] : text_offsets[k + 1]],
+                int(line_counts[k]),
+                int(nonuniq[k]),
+                int(uniq[k]),
+            )
+        )
+    return result
 
 
 def encode_block_native(data: bytes, crc: int):

@@ -1088,6 +1088,204 @@ int64_t s3_bz2_decompress(const uint8_t* in, int64_t in_len, uint8_t* out,
 }
 
 // ---------------------------------------------------------------------------
+// Fused BED parse + Starch delta transform (the native consolidation of
+// bed/parser.parse_bed + transform/delta.transform_chrom; behavioral spec
+// and reference citations live there).  One pass over the input text
+// produces every chromosome's transformed stream plus its metadata
+// statistics (line count, non-unique = sum of interval lengths, unique =
+// union length).  Returns the number of chromosome groups (contiguous
+// runs; the caller checks for duplicate names), -1 on any parse error
+// (caller falls back to the NumPy path for exact diagnostics), -2 on
+// capacity overflow.
+// ---------------------------------------------------------------------------
+namespace {
+
+static inline int64_t dec_len_i64(int64_t v) {
+    uint64_t m = v < 0 ? (uint64_t)(-v) : (uint64_t)v;
+    int64_t d = 1;
+    while (m >= 10) {
+        m /= 10;
+        d++;
+    }
+    return d + (v < 0 ? 1 : 0);
+}
+
+static inline uint8_t* emit_i64(uint8_t* o, int64_t v) {
+    if (v < 0) {
+        *o++ = '-';
+        v = -v;
+    }
+    char tmp[20];
+    int k = 0;
+    do {
+        tmp[k++] = (char)('0' + (v % 10));
+        v /= 10;
+    } while (v);
+    while (k) *o++ = (uint8_t)tmp[--k];
+    return o;
+}
+
+}  // namespace
+
+int64_t s3_bed_transform(const uint8_t* data, int64_t n, uint8_t* out,
+                         int64_t out_cap, int64_t max_chroms,
+                         int64_t* text_offsets, int64_t* name_offsets,
+                         int64_t* name_lens, int64_t* line_counts,
+                         int64_t* nonuniq, int64_t* uniq) {
+    int64_t o = 0;        // write cursor
+    int64_t nc = 0;       // chromosome count
+    int64_t i = 0;        // read cursor
+    // per-chromosome transform state
+    int64_t last_stop = 0, last_diff = 0, lines = 0, nuniq_acc = 0;
+    int64_t cur_name_off = -1, cur_name_len = 0;
+    // union-length state: intervals usually arrive sorted by start; track
+    // running max stop and detect order violations for a sort fallback
+    std::vector<int64_t> u_starts, u_stops;
+    bool sorted_starts = true;
+    int64_t run_max = 0, uniq_acc = 0, prev_start = INT64_MIN;
+
+    auto close_chrom = [&]() -> bool {
+        if (cur_name_off < 0) return true;
+        if (nc >= max_chroms) return false;
+        name_offsets[nc] = cur_name_off;
+        name_lens[nc] = cur_name_len;
+        line_counts[nc] = lines;
+        nonuniq[nc] = nuniq_acc;
+        if (!sorted_starts) {
+            // rare: re-derive union with a stable sort by start
+            std::vector<int64_t> idx(u_starts.size());
+            for (size_t k = 0; k < idx.size(); k++) idx[k] = (int64_t)k;
+            std::stable_sort(idx.begin(), idx.end(),
+                             [&](int64_t a, int64_t b) {
+                                 return u_starts[(size_t)a] <
+                                        u_starts[(size_t)b];
+                             });
+            int64_t run = u_starts[(size_t)idx[0]];
+            uniq_acc = 0;
+            for (size_t k = 0; k < idx.size(); k++) {
+                int64_t s = u_starts[(size_t)idx[k]];
+                int64_t e = u_stops[(size_t)idx[k]];
+                int64_t lo = s > run ? s : run;
+                if (e > lo) uniq_acc += e - lo;
+                if (e > run) run = e;
+            }
+        }
+        uniq[nc] = uniq_acc;
+        nc++;
+        text_offsets[nc] = o;
+        return true;
+    };
+
+    text_offsets[0] = 0;
+    while (i < n) {
+        // line bounds
+        const uint8_t* nl =
+            (const uint8_t*)memchr(data + i, '\n', (size_t)(n - i));
+        int64_t le = nl ? (int64_t)(nl - data) : n;
+        if (le == i) {  // empty line
+            i = le + 1;
+            continue;
+        }
+        // fields: chrom \t start \t stop [\t remainder]
+        const uint8_t* t1 =
+            (const uint8_t*)memchr(data + i, '\t', (size_t)(le - i));
+        if (!t1) return -1;
+        int64_t p1 = (int64_t)(t1 - data);
+        if (p1 == i) return -1;  // empty chromosome
+        const uint8_t* t2 = (const uint8_t*)memchr(
+            data + p1 + 1, '\t', (size_t)(le - p1 - 1));
+        if (!t2) return -1;
+        int64_t p2 = (int64_t)(t2 - data);
+        const uint8_t* t3 = (const uint8_t*)memchr(
+            data + p2 + 1, '\t', (size_t)(le - p2 - 1));
+        int64_t p3 = t3 ? (int64_t)(t3 - data) : le;
+        // parse start/stop
+        int64_t start, stop;
+        {
+            int64_t p = p1 + 1, e = p2;
+            if (p >= e) return -1;
+            bool neg = data[p] == '-';
+            if (neg) p++;
+            if (p >= e || e - p > 19) return -1;
+            int64_t v = 0;
+            for (; p < e; p++) {
+                uint8_t d = data[p] - '0';
+                if (d > 9) return -1;
+                v = v * 10 + d;
+            }
+            start = neg ? -v : v;
+            p = p2 + 1;
+            e = p3;
+            if (p >= e) return -1;
+            neg = data[p] == '-';
+            if (neg) p++;
+            if (p >= e || e - p > 19) return -1;
+            v = 0;
+            for (; p < e; p++) {
+                uint8_t d = data[p] - '0';
+                if (d > 9) return -1;
+                v = v * 10 + d;
+            }
+            stop = neg ? -v : v;
+        }
+        // chromosome boundary?
+        int64_t nm_len = p1 - i;
+        if (cur_name_off < 0 || nm_len != cur_name_len ||
+            memcmp(data + i, data + cur_name_off, (size_t)nm_len) != 0) {
+            if (!close_chrom()) return -2;
+            cur_name_off = i;
+            cur_name_len = nm_len;
+            last_stop = 0;
+            last_diff = 0;
+            lines = 0;
+            nuniq_acc = 0;
+            uniq_acc = 0;
+            sorted_starts = true;
+            prev_start = INT64_MIN;
+            run_max = 0;
+            u_starts.clear();
+            u_stops.clear();
+        }
+        // transform this record
+        int64_t coord_diff = stop - start;
+        int64_t rem_len = p3 < le ? le - (p3 + 1) : 0;
+        // capacity: p-line (<=22) + delta (<=21) + tab + rem + nl
+        if (o + 46 + rem_len > out_cap) return -2;
+        uint8_t* w = out + o;
+        if (coord_diff != last_diff) {
+            *w++ = 'p';
+            w = emit_i64(w, coord_diff);
+            *w++ = '\n';
+            last_diff = coord_diff;
+        }
+        w = emit_i64(w, last_stop == 0 ? start : start - last_stop);
+        if (rem_len > 0) {
+            *w++ = '\t';
+            memcpy(w, data + p3 + 1, (size_t)rem_len);
+            w += rem_len;
+        }
+        *w++ = '\n';
+        o = (int64_t)(w - out);
+        last_stop = stop;
+        lines++;
+        nuniq_acc += coord_diff;
+        // union-length streaming (sorted fast path)
+        if (start < prev_start) sorted_starts = false;
+        prev_start = start;
+        if (sorted_starts) {
+            int64_t lo = lines == 1 ? start : (start > run_max ? start : run_max);
+            if (stop > lo) uniq_acc += stop - lo;
+            if (lines == 1 || stop > run_max) run_max = stop;
+        }
+        u_starts.push_back(start);
+        u_stops.push_back(stop);
+        i = le + 1;
+    }
+    if (!close_chrom()) return -2;
+    return nc;
+}
+
+// ---------------------------------------------------------------------------
 // Full single-block encode: post-RLE1 block bytes -> bzip2 block bitstream
 // fragment (unaligned; whole bytes + tail bits, splice-ready for
 // codec/bitio.BitWriter.append_writer).  This is the native consolidation
