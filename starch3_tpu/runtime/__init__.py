@@ -243,11 +243,13 @@ def bed_transform_native(data: bytes):
     if lib is None or not data:
         return None
     arr = np.frombuffer(data, dtype=np.uint8)
-    n_lines = int(np.count_nonzero(arr == 0x0A)) + 1
+    n_lines = data.count(b"\n") + 1
     out_cap = arr.size + 48 * n_lines + 64
     out = np.empty(out_cap, dtype=np.uint8)
-    max_chroms = min(n_lines + 1, 1 << 20)
-    text_offsets = np.zeros(max_chroms + 1, dtype=np.int64)
+    max_chroms = n_lines + 1
+    # the C side writes text_offsets[0]; np.empty everywhere (entries past
+    # nc are never read)
+    text_offsets = np.empty(max_chroms + 1, dtype=np.int64)
     name_offsets = np.empty(max_chroms, dtype=np.int64)
     name_lens = np.empty(max_chroms, dtype=np.int64)
     line_counts = np.empty(max_chroms, dtype=np.int64)
