@@ -1138,11 +1138,13 @@ int64_t s3_bed_transform(const uint8_t* data, int64_t n, uint8_t* out,
     // per-chromosome transform state
     int64_t last_stop = 0, last_diff = 0, lines = 0, nuniq_acc = 0;
     int64_t cur_name_off = -1, cur_name_len = 0;
-    // union-length state: intervals usually arrive sorted by start; track
-    // running max stop and detect order violations for a sort fallback
-    std::vector<int64_t> u_starts, u_stops;
+    // union-length state: intervals usually arrive sorted by start; a
+    // running max suffices.  On an order violation the chromosome's slice
+    // of the input is re-parsed at close (rare; avoids buffering every
+    // interval, which matters at the 100M-record stress scale)
     bool sorted_starts = true;
     int64_t run_max = 0, uniq_acc = 0, prev_start = INT64_MIN;
+    int64_t chrom_line_end = 0;  // end of the current chromosome's last line
 
     auto close_chrom = [&]() -> bool {
         if (cur_name_off < 0) return true;
@@ -1152,19 +1154,47 @@ int64_t s3_bed_transform(const uint8_t* data, int64_t n, uint8_t* out,
         line_counts[nc] = lines;
         nonuniq[nc] = nuniq_acc;
         if (!sorted_starts) {
-            // rare: re-derive union with a stable sort by start
-            std::vector<int64_t> idx(u_starts.size());
+            // rare: re-parse this chromosome's lines, stable-sort by
+            // start, re-derive the union length
+            std::vector<int64_t> ss, ee;
+            ss.reserve((size_t)lines);
+            ee.reserve((size_t)lines);
+            int64_t q = cur_name_off;
+            while (q < chrom_line_end) {
+                const uint8_t* nl2 = (const uint8_t*)memchr(
+                    data + q, '\n', (size_t)(chrom_line_end - q));
+                int64_t le2 = nl2 ? (int64_t)(nl2 - data) : chrom_line_end;
+                if (le2 > q) {
+                    const uint8_t* ta = (const uint8_t*)memchr(
+                        data + q, '\t', (size_t)(le2 - q));
+                    int64_t a = (int64_t)(ta - data) + 1;
+                    int64_t v = 0;
+                    bool neg = data[a] == '-';
+                    if (neg) a++;
+                    while (data[a] != '\t') v = v * 10 + (data[a++] - '0');
+                    int64_t s = neg ? -v : v;
+                    a++;
+                    v = 0;
+                    neg = data[a] == '-';
+                    if (neg) a++;
+                    while (a < le2 && data[a] != '\t')
+                        v = v * 10 + (data[a++] - '0');
+                    ss.push_back(s);
+                    ee.push_back(neg ? -v : v);
+                }
+                q = le2 + 1;
+            }
+            std::vector<int64_t> idx(ss.size());
             for (size_t k = 0; k < idx.size(); k++) idx[k] = (int64_t)k;
             std::stable_sort(idx.begin(), idx.end(),
                              [&](int64_t a, int64_t b) {
-                                 return u_starts[(size_t)a] <
-                                        u_starts[(size_t)b];
+                                 return ss[(size_t)a] < ss[(size_t)b];
                              });
-            int64_t run = u_starts[(size_t)idx[0]];
+            int64_t run = ss[(size_t)idx[0]];
             uniq_acc = 0;
             for (size_t k = 0; k < idx.size(); k++) {
-                int64_t s = u_starts[(size_t)idx[k]];
-                int64_t e = u_stops[(size_t)idx[k]];
+                int64_t s = ss[(size_t)idx[k]];
+                int64_t e = ee[(size_t)idx[k]];
                 int64_t lo = s > run ? s : run;
                 if (e > lo) uniq_acc += e - lo;
                 if (e > run) run = e;
@@ -1243,8 +1273,6 @@ int64_t s3_bed_transform(const uint8_t* data, int64_t n, uint8_t* out,
             sorted_starts = true;
             prev_start = INT64_MIN;
             run_max = 0;
-            u_starts.clear();
-            u_stops.clear();
         }
         // transform this record
         int64_t coord_diff = stop - start;
@@ -1277,8 +1305,7 @@ int64_t s3_bed_transform(const uint8_t* data, int64_t n, uint8_t* out,
             if (stop > lo) uniq_acc += stop - lo;
             if (lines == 1 || stop > run_max) run_max = stop;
         }
-        u_starts.push_back(start);
-        u_stops.push_back(stop);
+        chrom_line_end = le;
         i = le + 1;
     }
     if (!close_chrom()) return -2;

@@ -107,3 +107,94 @@ class TestNativeDecoder:
 
         blk = rle1_split_blocks(raw, 9)[0]
         assert runtime.rle1_decode_native(blk.data) == rle1_decode(blk.data)
+
+
+class TestNativeBwtAdversarial:
+    """The fast rotation sorter (radix + multikey quicksort + induced
+    copy) must agree with the SA-IS path and the Python oracle on every
+    input shape, including the equal-rotation families that can only be
+    ordered correctly via the periodicity gate."""
+
+    def test_fuzz_vs_oracle(self, rng):
+        for trial in range(120):
+            kind = trial % 5
+            n = int(rng.integers(16, 2000))
+            if kind == 0:
+                d = rng.integers(0, 256, n, dtype=np.uint8)
+            elif kind == 1:
+                d = rng.integers(0, 2, n, dtype=np.uint8)
+            elif kind == 2:
+                pat = rng.integers(0, 256, int(rng.integers(1, 8)), dtype=np.uint8)
+                d = np.tile(pat, n // len(pat) + 1)[:n]
+            elif kind == 3:
+                d = np.full(n, 65, dtype=np.uint8)
+            else:
+                d = np.sort(rng.integers(0, 10, n, dtype=np.uint8))
+            l1, p1 = bwt_encode(d)
+            l2, p2 = runtime.bwt_native(d)
+            assert l1.tolist() == l2.tolist() and p1 == p2, (trial, kind, n)
+
+
+class TestNativeEncodeBlock:
+    def test_fragment_matches_python_path(self, rng):
+        from starch3_tpu.codec.bitio import BitWriter
+        from starch3_tpu.codec.encoder import write_block
+        from starch3_tpu.codec.rle1 import rle1_split_blocks
+
+        for data in [
+            rng.integers(0, 200, 80_000, dtype=np.uint8).tobytes(),
+            rng.integers(97, 102, 200_000, dtype=np.uint8).tobytes(),
+            b"hello starch\n" * 3000,
+        ]:
+            blk = rle1_split_blocks(data, 9)[0]
+            native = runtime.encode_block_native(blk.data, blk.crc)
+            assert native is not None
+            ref = BitWriter()
+            write_block(ref, blk)
+            assert native == (bytes(ref._out), ref._acc, ref._nbits)
+
+
+class TestNativeBedTransform:
+    def _rand_bed(self, rng, n, with_rem, unsorted):
+        lines = []
+        for c in [b"chr1", b"chr2", b"chrX_alt"]:
+            starts = np.cumsum(rng.integers(1, 500, n))
+            if unsorted:
+                rng.shuffle(starts)
+            for s in starts.tolist():
+                e = s + int(rng.integers(0, 300))
+                if with_rem and rng.random() < 0.7:
+                    rem = b"\t".join(
+                        b"f%d" % int(rng.integers(0, 99))
+                        for _ in range(int(rng.integers(1, 4)))
+                    )
+                    lines.append(b"%s\t%d\t%d\t%s" % (c, s, e, rem))
+                else:
+                    lines.append(b"%s\t%d\t%d" % (c, s, e))
+        return b"\n".join(lines) + (b"\n" if rng.random() < 0.5 else b"")
+
+    def test_fuzz_vs_python_pipeline(self, rng):
+        from starch3_tpu.bed.parser import parse_bed
+        from starch3_tpu.transform.delta import transform_chrom
+
+        for trial in range(30):
+            bed = self._rand_bed(
+                rng, int(rng.integers(1, 150)), trial % 2 == 0, trial % 3 == 0
+            )
+            nat = runtime.bed_transform_native(bed)
+            assert nat is not None
+            ref = [transform_chrom(b) for b in parse_bed(bed)]
+            assert len(nat) == len(ref)
+            for t_n, t_r in zip(nat, ref):
+                assert t_n[0] == t_r.chrom
+                assert t_n[1] == t_r.text
+                assert t_n[2] == t_r.line_count
+                assert t_n[3] == t_r.base_count_nonunique
+                assert t_n[4] == t_r.base_count_unique
+
+    def test_parse_errors_fall_back(self):
+        # malformed inputs return None so the NumPy parser raises exact
+        # diagnostics
+        assert runtime.bed_transform_native(b"chr1\t5\n") is None
+        assert runtime.bed_transform_native(b"chr1\tx\t7\n") is None
+        assert runtime.bed_transform_native(b"\t5\t7\n") is None
