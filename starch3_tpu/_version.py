@@ -8,4 +8,4 @@ this rebuild starts its own line.
 __version__ = "1.0.0"
 
 # Archive-format version written into metadata (see format/SPEC.md).
-FORMAT_VERSION = (1, 0, 0)
+FORMAT_VERSION = (1, 1, 0)

@@ -36,6 +36,26 @@ def _compress_stream(text: bytes, config: EncodeConfig) -> bytes:
     raise UnsupportedCodecError(f"unknown codec {config.method}")
 
 
+def _compress_stream_ex(text: bytes, config: EncodeConfig) -> tuple[bytes, list[int]]:
+    """Like _compress_stream but also returns the per-block bit offsets
+    (the archive block index) for bzip2 streams."""
+    if config.method is CompressionMethod.BZIP2:
+        if config.use_jax:
+            from starch3_tpu.parallel.pipeline import encode_streams
+
+            enc = encode_streams(
+                [text],
+                level=config.block_size_100k,
+                batch_size=config.blocks_per_batch,
+            )[0]
+        else:
+            from starch3_tpu.codec.encoder import bz2_compress_ex
+
+            enc = bz2_compress_ex(text, config.block_size_100k)
+        return enc.data, list(enc.block_bit_offsets)
+    return _compress_stream(text, config), []
+
+
 def _decompress_stream(data: bytes, compression_format: str) -> bytes:
     if compression_format == "bzip2":
         # hot decode path: our native C++ decoder (runtime/runtime.cpp),
@@ -113,7 +133,9 @@ def compress_bed_bytes(data: bytes, config: EncodeConfig | None = None) -> bytes
         )
     else:
         streams = [_compress_stream(tf.text, config) for tf in transformed]
-    for tf, compressed in zip(transformed, streams):
+    for tf, enc in zip(transformed, streams):
+        compressed = enc if isinstance(enc, bytes) else enc.data
+        offsets = [] if isinstance(enc, bytes) else list(enc.block_bit_offsets)
         writer.add_stream(
             tf.chrom,
             compressed,
@@ -121,6 +143,7 @@ def compress_bed_bytes(data: bytes, config: EncodeConfig | None = None) -> bytes
             line_count=tf.line_count,
             base_count_nonunique=tf.base_count_nonunique,
             base_count_unique=tf.base_count_unique,
+            block_bit_offsets=offsets,
         )
     return writer.finish()
 
@@ -135,32 +158,67 @@ def decompress_starch_bytes(data: bytes, workers: int | None = None) -> bytes:
     reader = StarchReader.from_bytes(data)
     fmt = reader.metadata.compression_format
 
-    def decode_one(item):
+    def decode_one(item, text=None):
         meta, stream = item
-        text = _decompress_stream(stream, fmt)
+        if text is None:
+            text = _decompress_stream(stream, fmt)
         if len(text) != meta.uncompressed_size:
             raise FormatError(
                 f"{meta.chromosome}: uncompressed size mismatch "
                 f"({len(text)} != {meta.uncompressed_size})"
             )
-        block = untransform_chrom(meta.chromosome, text)
-        if block.n_records != meta.line_count:
+        from starch3_tpu.runtime import untransform_bed_native
+
+        native = untransform_bed_native(meta.chromosome, text)
+        if native is not None:
+            bed_text, n_records = native
+        else:
+            block = untransform_chrom(meta.chromosome, text)
+            bed_text, n_records = write_bed_chrom(block), block.n_records
+        if n_records != meta.line_count:
             raise FormatError(
                 f"{meta.chromosome}: line count mismatch "
-                f"({block.n_records} != {meta.line_count})"
+                f"({n_records} != {meta.line_count})"
             )
-        return write_bed_chrom(block)
+        return bed_text
 
     items = list(reader.iter_streams())
     if workers is None:
         import os
 
         workers = os.cpu_count() or 1
-    if workers > 1 and len(items) > 1:
+    if workers > 1 and items:
         from concurrent.futures import ThreadPoolExecutor
 
+        from starch3_tpu.runtime import bz2_decode_block_native, get_lib
+
+        # two waves on one pool: the archive's per-stream block index
+        # (block_bit_offsets) lets multi-block streams decode
+        # block-parallel; then per-stream inverse transform + BED write
+        use_blocks = fmt == "bzip2" and get_lib() is not None
         with ThreadPoolExecutor(workers) as ex:
-            parts = list(ex.map(decode_one, items))
+            futs = {}
+            for si, (meta, stream) in enumerate(items):
+                offs = list(getattr(meta, "block_bit_offsets", []) or [])
+                if use_blocks and len(offs) > 1 and len(stream) >= 4:
+                    level = stream[3] - 0x30
+                    if 1 <= level <= 9:
+                        for bi, off in enumerate(offs):
+                            futs[(si, bi)] = ex.submit(
+                                bz2_decode_block_native, stream, off, level
+                            )
+            texts = {}
+            for (si, bi), f in futs.items():
+                texts.setdefault(si, {})[bi] = f.result()[0]
+
+            def finish(si):
+                if si in texts:
+                    blocks = texts[si]
+                    text = b"".join(blocks[b] for b in range(len(blocks)))
+                    return decode_one(items[si], text)
+                return decode_one(items[si])
+
+            parts = list(ex.map(finish, range(len(items))))
     else:
         parts = [decode_one(it) for it in items]
     return b"".join(parts)

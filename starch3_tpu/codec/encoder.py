@@ -148,19 +148,25 @@ def encode_block_fragment(blk: Rle1Block) -> BitWriter:
 
 def encode_streams_host(
     texts: list[bytes], level: int = 9, workers: int | None = None
-) -> list[bytes]:
+) -> list[EncodedStream]:
     """Compress many independent streams with one shared thread pool over
     all their blocks (the host-path counterpart of
     parallel/pipeline.encode_streams)."""
-    if workers and workers > 1 and len(texts) > 1:
+    if workers and workers > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(workers) as ex:
-            per_stream = list(
-                ex.map(lambda t: rle1_split_blocks(t, level), texts)
-            )
+            if len(texts) > 1:
+                per_stream = list(
+                    ex.map(lambda t: rle1_split_blocks(t, level), texts)
+                )
+            else:
+                per_stream = [rle1_split_blocks(texts[0], level)]
             flat = [blk for blocks in per_stream for blk in blocks]
-            frags = list(ex.map(encode_block_fragment, flat))
+            if len(flat) > 1:
+                frags = list(ex.map(encode_block_fragment, flat))
+            else:
+                frags = [encode_block_fragment(blk) for blk in flat]
     else:
         per_stream = [rle1_split_blocks(t, level) for t in texts]
         flat = [blk for blocks in per_stream for blk in blocks]
@@ -172,12 +178,23 @@ def encode_streams_host(
         bw.write_bytes_msb(b"BZh")
         bw.write(0x30 + level, 8)
         combined = 0
+        offsets = []
+        crcs = []
         for blk in blocks:
+            offsets.append(bw.bit_length)
+            crcs.append(blk.crc)
             combined = combine_block_crc(combined, blk.crc)
             bw.append_writer(next(it))
         bw.write(STREAM_END_MAGIC, 48)
         bw.write(combined, 32)
-        out.append(bw.getvalue())
+        out.append(
+            EncodedStream(
+                data=bw.getvalue(),
+                block_bit_offsets=tuple(offsets),
+                block_crcs=tuple(crcs),
+                combined_crc=combined,
+            )
+        )
     return out
 
 

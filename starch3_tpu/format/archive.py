@@ -69,6 +69,7 @@ class StarchWriter:
         line_count: int,
         base_count_nonunique: int,
         base_count_unique: int,
+        block_bit_offsets: list[int] | None = None,
     ) -> None:
         self._chunks.append(compressed)
         self._streams.append(
@@ -82,6 +83,7 @@ class StarchWriter:
                 base_count_nonunique=base_count_nonunique,
                 base_count_unique=base_count_unique,
                 signature=hashlib.sha256(compressed).hexdigest(),
+                block_bit_offsets=list(block_bit_offsets or []),
             )
         )
         self._offset += len(compressed)

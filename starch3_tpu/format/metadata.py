@@ -31,6 +31,12 @@ class StreamMetadata:
     base_count_nonunique: int  # sum of interval lengths
     base_count_unique: int  # length of interval union
     signature: str  # sha256 hex of the compressed stream
+    # absolute bit offset of each bzip2 block's 48-bit magic within the
+    # stream — the information the reference's patched bz_stream
+    # block-close callback existed to recover (bundled bzlib.h:66-67,
+    # fired at bzlib.c:470); recorded here as data, it enables
+    # block-parallel decode and block-granular resume
+    block_bit_offsets: list[int] = field(default_factory=list)
 
 
 @dataclass

@@ -67,7 +67,7 @@ def encode_corpus_multihost(
     Full-slice orchestration (gather to host 0) happens in the caller via
     assemble.assemble_ordered once all hosts' manifests are present.
     """
-    from starch3_tpu.api import _compress_stream
+    from starch3_tpu.api import _compress_stream_ex
     from starch3_tpu.config import EncodeConfig
     from starch3_tpu.transform.delta import transform_chrom
 
@@ -77,7 +77,7 @@ def encode_corpus_multihost(
     for i in mine:
         block = chrom_blocks[i]
         tf = transform_chrom(block)
-        stream = _compress_stream(tf.text, config)
+        stream, offsets = _compress_stream_ex(tf.text, config)
         results[block.chrom] = (
             stream,
             dict(
@@ -85,6 +85,7 @@ def encode_corpus_multihost(
                 line_count=tf.line_count,
                 base_count_nonunique=tf.base_count_nonunique,
                 base_count_unique=tf.base_count_unique,
+                block_bit_offsets=offsets,
             ),
         )
     return results

@@ -202,13 +202,26 @@ def encode_streams(
         bw.write_bytes_msb(b"BZh")
         bw.write(0x30 + level, 8)
         combined = 0
+        offsets = []
+        crcs = []
         for bi, blk in enumerate(blocks):
             in_use, ptr, ranks = results[(si, bi)]
+            offsets.append(bw.bit_length)
+            crcs.append(blk.crc)
             combined = combine_block_crc(combined, blk.crc)
             write_block_from_ranks(bw, blk.crc, ptr, ranks, in_use)
         bw.write(STREAM_END_MAGIC, 48)
         bw.write(combined, 32)
-        streams.append(bw.getvalue())
+        from starch3_tpu.codec.encoder import EncodedStream
+
+        streams.append(
+            EncodedStream(
+                data=bw.getvalue(),
+                block_bit_offsets=tuple(offsets),
+                block_crcs=tuple(crcs),
+                combined_crc=combined,
+            )
+        )
     return streams
 
 
@@ -222,7 +235,7 @@ def jax_bz2_compress(data: bytes, config=None, mesh=None, n_max: int | None = No
     """bzip2-compatible compression with the heavy stages on device."""
     level = config.block_size_100k if config is not None else 9
     batch_size = getattr(config, "blocks_per_batch", 8) if config else 8
-    return encode_streams([data], level=level, mesh=mesh, batch_size=batch_size)[0]
+    return encode_streams([data], level=level, mesh=mesh, batch_size=batch_size)[0].data
 
 
 def _dispatch_chunk(block_datas, n_max, mesh):

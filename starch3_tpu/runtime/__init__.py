@@ -84,6 +84,11 @@ def get_lib():
         lib.s3_bz2_decompress.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.s3_bz2_decode_block.restype = ctypes.c_int64
+        lib.s3_bz2_decode_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
         lib.s3_bwt.restype = ctypes.c_int64
         lib.s3_bwt.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
         lib.s3_rle2_from_ranks.restype = ctypes.c_int64
@@ -97,6 +102,11 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.s3_untransform_bed.restype = ctypes.c_int64
+        lib.s3_untransform_bed.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
         lib.s3_encode_block.restype = ctypes.c_int64
         lib.s3_encode_block.argtypes = [
@@ -334,6 +344,49 @@ def bz2_decompress_native(stream: bytes, size_hint: int | None = None):
             "bzip2: corrupt stream" if n == -1 else "bzip2: CRC mismatch"
         )
     raise ValueError("bzip2: output capacity loop exceeded")
+
+
+def untransform_bed_native(chrom: str, text: bytes):
+    """Fused inverse transform + BED emission (runtime.cpp
+    s3_untransform_bed): (bed_bytes, n_records) or None to fall back."""
+    lib = get_lib()
+    if lib is None or not text:
+        return None
+    arr = np.frombuffer(text, dtype=np.uint8)
+    name = chrom.encode("ascii")
+    n_lines = text.count(b"\n") + 1
+    cap = arr.size + n_lines * (len(name) + 46) + 64
+    out = np.empty(cap, dtype=np.uint8)
+    nrec = np.zeros(1, dtype=np.int64)
+    n = lib.s3_untransform_bed(
+        arr.ctypes.data, arr.size, name, len(name),
+        out.ctypes.data, cap, nrec.ctypes.data,
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes(), int(nrec[0])
+
+
+def bz2_decode_block_native(stream: bytes, bit_offset: int, level: int):
+    """Decode one block at a known bit offset (runtime.cpp
+    s3_bz2_decode_block): (bytes, block_crc) or None.  Raises ValueError
+    on corruption."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.frombuffer(stream, dtype=np.uint8)
+    cap = 100_000 * level + 64
+    out = np.empty(cap, dtype=np.uint8)
+    crc = ctypes.c_uint32()
+    n = lib.s3_bz2_decode_block(
+        arr.ctypes.data, arr.size, bit_offset, out.ctypes.data, cap,
+        ctypes.byref(crc),
+    )
+    if n < 0:
+        raise ValueError(
+            "bzip2: corrupt stream" if n != -3 else "bzip2: CRC mismatch"
+        )
+    return out[:n].tobytes(), int(crc.value)
 
 
 def rle1_decode_native(data: bytes):

@@ -869,18 +869,15 @@ static void crc_init() {
 
 }  // namespace
 
-int64_t s3_bz2_decompress(const uint8_t* in, int64_t in_len, uint8_t* out,
-                          int64_t out_cap) {
-    crc_init();
-    if (in_len < 14 || in[0] != 'B' || in[1] != 'Z' || in[2] != 'h') return -1;
-    int level = in[3] - '0';
-    if (level < 1 || level > 9) return -1;
-    BitReader br{in, in_len};
-    br.pos = 32;
-    int64_t out_len = 0;
-    uint32_t combined = 0;
-    const int64_t max_block = 100000LL * level + 64;
-    // scratch for one block (allocated once, reused)
+namespace {
+
+// Decode one block whose 48-bit magic has already been consumed; appends
+// at out+out_len, returns the appended byte count or -1 (malformed),
+// -2 (capacity), -3 (CRC).  *crc_out receives the verified block CRC.
+static int64_t dec_block(BitReader& br, int64_t max_block, uint8_t* out,
+                         int64_t out_cap, int64_t out_len,
+                         uint32_t* crc_out) {
+    // scratch for one block (allocated once per thread, reused)
     static thread_local uint8_t* tt = nullptr;      // bwt last column
     static thread_local int32_t* lf = nullptr;      // LF mapping
     static thread_local int64_t tt_cap = 0;
@@ -891,16 +888,8 @@ int64_t s3_bz2_decompress(const uint8_t* in, int64_t in_len, uint8_t* out,
         lf = new int32_t[max_block];
         tt_cap = max_block;
     }
-
-    for (;;) {
-        uint64_t magic = br.read48();
-        if (!br.ok) return -1;
-        if (magic == 0x177245385090ULL) {
-            uint32_t stored = br.read(32);
-            if (!br.ok || stored != combined) return -3;
-            return out_len;
-        }
-        if (magic != 0x314159265359ULL) return -1;
+    const int64_t out_start = out_len;
+    {
         uint32_t block_crc = br.read(32);
         if (br.bit()) return -1;  // randomised unsupported (1.0.x never)
         uint32_t orig_ptr = br.read(24);
@@ -1083,8 +1072,60 @@ int64_t s3_bz2_decompress(const uint8_t* in, int64_t in_len, uint8_t* out,
         }
         crc ^= 0xFFFFFFFFu;
         if (crc != block_crc) return -3;
+        *crc_out = block_crc;
+        return out_len - out_start;
+    }
+}
+
+}  // namespace
+
+int64_t s3_bz2_decompress(const uint8_t* in, int64_t in_len, uint8_t* out,
+                          int64_t out_cap) {
+    crc_init();
+    if (in_len < 14 || in[0] != 'B' || in[1] != 'Z' || in[2] != 'h') return -1;
+    int level = in[3] - '0';
+    if (level < 1 || level > 9) return -1;
+    BitReader br{in, in_len};
+    br.pos = 32;
+    int64_t out_len = 0;
+    uint32_t combined = 0;
+    const int64_t max_block = 100000LL * level + 64;
+    for (;;) {
+        uint64_t magic = br.read48();
+        if (!br.ok) return -1;
+        if (magic == 0x177245385090ULL) {
+            uint32_t stored = br.read(32);
+            if (!br.ok || stored != combined) return -3;
+            return out_len;
+        }
+        if (magic != 0x314159265359ULL) return -1;
+        uint32_t crc;
+        int64_t added = dec_block(br, max_block, out, out_cap, out_len, &crc);
+        if (added < 0) return added;
+        out_len += added;
         combined = ((combined << 1) | (combined >> 31)) ^ crc;
     }
+}
+
+// ---------------------------------------------------------------------------
+// Decode a single block at a known absolute bit offset (from the
+// archive's per-stream block index, metadata block_bit_offsets — the
+// data the reference's patched block-close callback existed to record).
+// Returns the decoded byte count; fills *crc_out.  The entry point for
+// block-parallel stream decode.
+// ---------------------------------------------------------------------------
+int64_t s3_bz2_decode_block(const uint8_t* in, int64_t in_len,
+                            int64_t bit_offset, uint8_t* out,
+                            int64_t out_cap, uint32_t* crc_out) {
+    crc_init();
+    if (in_len < 14 || in[0] != 'B' || in[1] != 'Z' || in[2] != 'h') return -1;
+    int level = in[3] - '0';
+    if (level < 1 || level > 9) return -1;
+    BitReader br{in, in_len};
+    br.pos = bit_offset;
+    if (br.read48() != 0x314159265359ULL || !br.ok) return -1;
+    const int64_t max_block = 100000LL * level + 64;
+    return dec_block(br, max_block, out, out_cap, 0, crc_out);
 }
 
 // ---------------------------------------------------------------------------
@@ -1310,6 +1351,83 @@ int64_t s3_bed_transform(const uint8_t* data, int64_t n, uint8_t* out,
     }
     if (!close_chrom()) return -2;
     return nc;
+}
+
+// ---------------------------------------------------------------------------
+// Fused inverse transform + BED emission (decode-side counterpart of
+// s3_bed_transform; behavioral spec in transform/delta.untransform_chrom
+// + bed/writer.write_bed_chrom): one pass over a chromosome's
+// transformed text reconstructs coordinates from the delta/p-line chain
+// (stop_i = stop_{i-1} + delta_i + diff_i, stop_{-1} = 0) and writes
+// BED lines directly.  Returns bytes written, -1 on malformed text
+// (caller falls back to the NumPy path for exact diagnostics), -2 on
+// capacity overflow.  *n_records_out receives the data-line count.
+// ---------------------------------------------------------------------------
+int64_t s3_untransform_bed(const uint8_t* text, int64_t n,
+                           const uint8_t* chrom, int64_t chrom_len,
+                           uint8_t* out, int64_t out_cap,
+                           int64_t* n_records_out) {
+    if (n <= 0 || text[n - 1] != '\n') return -1;
+    int64_t i = 0, o = 0, records = 0;
+    int64_t stop = 0, diff = 0;
+    while (i < n) {
+        const uint8_t* nl =
+            (const uint8_t*)memchr(text + i, '\n', (size_t)(n - i));
+        int64_t le = (int64_t)(nl - text);  // always found (text ends \n)
+        if (le == i) return -1;             // empty line
+        if (text[i] == 'p') {
+            int64_t p = i + 1;
+            if (p >= le) return -1;
+            bool neg = text[p] == '-';
+            if (neg) p++;
+            if (p >= le || le - p > 19) return -1;
+            int64_t v = 0;
+            for (; p < le; p++) {
+                uint8_t d = text[p] - '0';
+                if (d > 9) return -1;
+                v = v * 10 + d;
+            }
+            diff = neg ? -v : v;
+            i = le + 1;
+            continue;
+        }
+        const uint8_t* tb =
+            (const uint8_t*)memchr(text + i, '\t', (size_t)(le - i));
+        int64_t de = tb ? (int64_t)(tb - text) : le;
+        int64_t p = i;
+        bool neg = text[p] == '-';
+        if (neg) p++;
+        if (p >= de || de - p > 19) return -1;
+        int64_t v = 0;
+        for (; p < de; p++) {
+            uint8_t d = text[p] - '0';
+            if (d > 9) return -1;
+            v = v * 10 + d;
+        }
+        int64_t delta = neg ? -v : v;
+        stop += delta + diff;
+        int64_t start = stop - diff;
+        int64_t rem_len = tb ? le - (de + 1) : 0;
+        if (o + chrom_len + 44 + rem_len > out_cap) return -2;
+        uint8_t* w = out + o;
+        memcpy(w, chrom, (size_t)chrom_len);
+        w += chrom_len;
+        *w++ = '\t';
+        w = emit_i64(w, start);
+        *w++ = '\t';
+        w = emit_i64(w, stop);
+        if (rem_len > 0) {
+            *w++ = '\t';
+            memcpy(w, text + de + 1, (size_t)rem_len);
+            w += rem_len;
+        }
+        *w++ = '\n';
+        o = (int64_t)(w - out);
+        records++;
+        i = le + 1;
+    }
+    *n_records_out = records;
+    return o;
 }
 
 // ---------------------------------------------------------------------------

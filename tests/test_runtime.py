@@ -198,3 +198,55 @@ class TestNativeBedTransform:
         assert runtime.bed_transform_native(b"chr1\t5\n") is None
         assert runtime.bed_transform_native(b"chr1\tx\t7\n") is None
         assert runtime.bed_transform_native(b"\t5\t7\n") is None
+
+
+class TestNativeUntransform:
+    def test_equivalence_roundtrip(self, rng):
+        from starch3_tpu.api import _parse_transform
+        from starch3_tpu.bed.writer import write_bed_chrom
+        from starch3_tpu.transform.delta import untransform_chrom
+
+        for trial in range(20):
+            n = int(rng.integers(1, 300))
+            starts = np.cumsum(rng.integers(1, 500, n))
+            if trial % 3 == 0:
+                rng.shuffle(starts)
+            lines = []
+            for s in starts.tolist():
+                e = s + int(rng.integers(0, 300))
+                if trial % 2 and rng.random() < 0.6:
+                    lines.append(b"chr9\t%d\t%d\tx\ty" % (s, e))
+                else:
+                    lines.append(b"chr9\t%d\t%d" % (s, e))
+            bed = b"\n".join(lines) + b"\n"
+            tf = _parse_transform(bed)[0]
+            nat = runtime.untransform_bed_native("chr9", tf.text)
+            blk = untransform_chrom("chr9", tf.text)
+            assert nat == (write_bed_chrom(blk), blk.n_records)
+            assert nat[0] == bed
+
+    def test_malformed_falls_back(self):
+        assert runtime.untransform_bed_native("c", b"5x\n") is None
+        assert runtime.untransform_bed_native("c", b"5\t7") is None
+
+
+class TestNativeBlockDecode:
+    def test_blocks_concat_to_stream(self, rng):
+        from starch3_tpu.codec.encoder import bz2_compress_ex
+
+        data = rng.integers(0, 256, 2_100_000, dtype=np.uint8).tobytes()
+        enc = bz2_compress_ex(data, 9)
+        assert len(enc.block_bit_offsets) > 1
+        parts = [
+            runtime.bz2_decode_block_native(enc.data, off, 9)
+            for off in enc.block_bit_offsets
+        ]
+        assert b"".join(p[0] for p in parts) == data
+        assert [p[1] for p in parts] == list(enc.block_crcs)
+
+    def test_bad_offset_raises(self, rng):
+        from starch3_tpu.codec.encoder import bz2_compress_ex
+
+        enc = bz2_compress_ex(b"hello world " * 100, 9)
+        with pytest.raises(ValueError):
+            runtime.bz2_decode_block_native(enc.data, 7, 9)
