@@ -1483,7 +1483,7 @@ int64_t s3_encode_block(const uint8_t* block, int64_t n, uint32_t crc,
     int n_in_use = 0;
     for (int c = 0; c < 256; c++)
         if (in_use[c]) map[c] = (uint8_t)n_in_use++;
-    // --- MTF ranks (dense alphabet list walk) -----------------------------
+    // --- MTF ranks (dense alphabet; SIMD find + memmove shift) ------------
     std::vector<uint8_t> ranks((size_t)n);
     {
         uint8_t list[256];
@@ -1494,15 +1494,8 @@ int64_t s3_encode_block(const uint8_t* block, int64_t n, uint32_t crc,
                 ranks[i] = 0;
                 continue;
             }
-            uint8_t prev = list[0];
-            int j = 1;
-            while (list[j] != s) {
-                uint8_t t = list[j];
-                list[j] = prev;
-                prev = t;
-                j++;
-            }
-            list[j] = prev;
+            int j = (int)((uint8_t*)memchr(list, s, (size_t)n_in_use) - list);
+            memmove(list + 1, list, (size_t)j);
             list[0] = s;
             ranks[i] = (uint8_t)j;
         }
@@ -1549,13 +1542,19 @@ int64_t s3_encode_block(const uint8_t* block, int64_t n, uint32_t crc,
     for (int it = 0; it < 4; it++) {
         for (int t = 0; t < n_groups; t++)
             for (int s = 0; s < alpha; s++) rfreq[t][s] = 0;
+        // transposed length table: one symbol's 6 table costs share a
+        // cache line (len[t][s] would touch 6 rows per symbol)
+        uint16_t lenT[258][8];
+        for (int s = 0; s < alpha; s++)
+            for (int t = 0; t < n_groups; t++)
+                lenT[s][t] = (uint16_t)len[t][s];
         for (int64_t g = 0; g < n_sel; g++) {
             int64_t b = g * 50;
             int64_t e = b + 50 < n_mtf ? b + 50 : n_mtf;
             int32_t cost[6] = {0, 0, 0, 0, 0, 0};
             for (int64_t i = b; i < e; i++) {
-                uint16_t s = syms[(size_t)i];
-                for (int t = 0; t < n_groups; t++) cost[t] += len[t][s];
+                const uint16_t* lt = lenT[syms[(size_t)i]];
+                for (int t = 0; t < n_groups; t++) cost[t] += lt[t];
             }
             int best = 0;
             for (int t = 1; t < n_groups; t++)
