@@ -224,6 +224,34 @@ def decompress_starch_bytes(data: bytes, workers: int | None = None) -> bytes:
     return b"".join(parts)
 
 
+def extract_chromosome(data: bytes, chrom: str) -> bytes:
+    """Random-access decode of one chromosome's BED records.
+
+    The metadata byte-offset index makes this O(stream) instead of
+    O(archive) — the capability the reference's per-chromosome framing
+    and block-close offset plumbing (SURVEY.md C5/C13) was building
+    toward.
+    """
+    reader = StarchReader.from_bytes(data)
+    for meta in reader.metadata.streams:
+        if meta.chromosome == chrom:
+            text = _decompress_stream(
+                reader.stream_bytes(chrom), reader.metadata.compression_format
+            )
+            if len(text) != meta.uncompressed_size:
+                raise FormatError(
+                    f"{chrom}: uncompressed size mismatch "
+                    f"({len(text)} != {meta.uncompressed_size})"
+                )
+            from starch3_tpu.runtime import untransform_bed_native
+
+            native = untransform_bed_native(chrom, text)
+            if native is not None:
+                return native[0]
+            return write_bed_chrom(untransform_chrom(chrom, text))
+    raise FormatError(f"chromosome {chrom!r} not present in archive")
+
+
 def list_chromosomes(data: bytes) -> list[dict]:
     """Metadata table for an archive (the unstarch --list analogue)."""
     reader = StarchReader.from_bytes(data)

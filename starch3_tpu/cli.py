@@ -49,6 +49,8 @@ USAGE = f"""\
   Decode / inspect:
 
   --decode | -d           decompress an archive back to BED
+  --decode --chrom=NAME   extract one chromosome (random access via the
+                          metadata byte-offset index)
   --list                  print the per-chromosome metadata table
 
   Process Flags:
@@ -71,6 +73,7 @@ def _parse_args(argv: list[str]) -> dict:
         "list": False,
         "output": None,
         "jax": False,
+        "chrom": None,
         "input": None,
     }
     i = 0
@@ -84,6 +87,13 @@ def _parse_args(argv: list[str]) -> dict:
             raise SystemExit(0)
         if a in ("--decode", "-d"):
             opts["decode"] = True
+        elif a.startswith("--chrom="):
+            opts["chrom"] = a[len("--chrom=") :]
+        elif a == "--chrom":
+            i += 1
+            if i >= len(argv):
+                raise OptionError("--chrom requires a value")
+            opts["chrom"] = argv[i]
         elif a == "--list":
             opts["list"] = True
         elif a == "--jax":
@@ -164,7 +174,11 @@ def main(argv: list[str] | None = None) -> int:
             for r in rows:
                 print("\t".join(str(r[c]) for c in cols))
             return 0
-        if opts["decode"]:
+        if opts["decode"] and opts["chrom"]:
+            from starch3_tpu.api import extract_chromosome
+
+            out = extract_chromosome(data, opts["chrom"])
+        elif opts["decode"]:
             from starch3_tpu.api import decompress_starch_bytes
 
             out = decompress_starch_bytes(data)

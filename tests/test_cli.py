@@ -76,3 +76,27 @@ class TestCli:
         r = run(["--gzip"], input_=bed)
         r2 = run(["--decode"], input_=r.stdout)
         assert r2.stdout == bed
+
+
+def test_extract_chromosome(tmp_path):
+    from starch3_tpu.api import compress_bed_bytes, extract_chromosome
+    from starch3_tpu.errors import FormatError
+    import pytest
+
+    bed = b"chr1\t1\t5\nchr1\t9\t12\tx\nchr2\t3\t8\n"
+    archive = compress_bed_bytes(bed)
+    assert extract_chromosome(archive, "chr1") == b"chr1\t1\t5\nchr1\t9\t12\tx\n"
+    assert extract_chromosome(archive, "chr2") == b"chr2\t3\t8\n"
+    with pytest.raises(FormatError):
+        extract_chromosome(archive, "chrZ")
+
+
+def test_cli_chrom_flag(tmp_path, capsysbinary):
+    from starch3_tpu.cli import main
+
+    bed = tmp_path / "in.bed"
+    bed.write_bytes(b"chrA\t1\t2\nchrB\t4\t9\n")
+    arch = tmp_path / "a.starch"
+    assert main([str(bed), "-o", str(arch)]) == 0
+    assert main(["--decode", "--chrom", "chrB", str(arch)]) == 0
+    assert capsysbinary.readouterr().out == b"chrB\t4\t9\n"
