@@ -66,3 +66,45 @@ def test_fuzz_bed_roundtrip(seed):
             lines.append(b"%s\t%d\t%d%s" % (chrom, pos, pos + ln, rem))
     bed = b"\n".join(lines) + b"\n"
     assert decompress_starch_bytes(compress_bed_bytes(bed)) == bed
+
+
+def test_corrupt_archive_never_crashes(rng):
+    """Any byte-level corruption must surface as StarchError — no
+    crashes, no hangs, no silently wrong output (the native decoder is C:
+    bounds discipline is load-bearing)."""
+    import numpy as np
+
+    from starch3_tpu.api import compress_bed_bytes, decompress_starch_bytes
+    from starch3_tpu.errors import StarchError
+
+    parts = []
+    for c in (1, 2):
+        starts = np.cumsum(rng.integers(1, 400, 2000))
+        parts.append(
+            b"".join(
+                b"chr%d\t%d\t%d\n" % (c, s, s + int(l))
+                for s, l in zip(starts.tolist(), rng.integers(1, 200, 2000).tolist())
+            )
+        )
+    bed = b"".join(parts)
+    archive = bytearray(compress_bed_bytes(bed))
+    for trial in range(60):
+        a = bytearray(archive)
+        mode = trial % 4
+        if mode == 0:
+            a[int(rng.integers(0, len(a)))] ^= 1 << int(rng.integers(0, 8))
+        elif mode == 1:
+            cut = int(rng.integers(0, len(a) - 50))
+            del a[cut : cut + int(rng.integers(1, 50))]
+        elif mode == 2:
+            pos = int(rng.integers(0, len(a)))
+            a[pos:pos] = bytes(
+                rng.integers(0, 256, int(rng.integers(1, 20)), dtype=np.uint8)
+            )
+        else:
+            a = a[: int(rng.integers(0, len(a)))]
+        try:
+            out = decompress_starch_bytes(bytes(a))
+            assert out == bed  # corruption landed in dead slack only
+        except StarchError:
+            pass
