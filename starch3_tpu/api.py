@@ -148,39 +148,65 @@ def compress_bed_bytes(data: bytes, config: EncodeConfig | None = None) -> bytes
     return writer.finish()
 
 
+def _decode_stream_to_bed(meta, stream: bytes, fmt: str, text: bytes | None = None) -> bytes:
+    """One stream -> BED text, with the full validation set (size,
+    line count); shared by whole-archive decode and random access."""
+    if text is None:
+        text = _decompress_stream(stream, fmt)
+    if len(text) != meta.uncompressed_size:
+        raise FormatError(
+            f"{meta.chromosome}: uncompressed size mismatch "
+            f"({len(text)} != {meta.uncompressed_size})"
+        )
+    from starch3_tpu.runtime import untransform_bed_native
+
+    native = untransform_bed_native(meta.chromosome, text)
+    if native is not None:
+        bed_text, n_records = native
+    else:
+        block = untransform_chrom(meta.chromosome, text)
+        bed_text, n_records = write_bed_chrom(block), block.n_records
+    if n_records != meta.line_count:
+        raise FormatError(
+            f"{meta.chromosome}: line count mismatch "
+            f"({n_records} != {meta.line_count})"
+        )
+    return bed_text
+
+
+def _verify_stream_tail(chrom: str, stream: bytes, block_crcs: list[int]) -> None:
+    """Verify a bzip2 stream's end magic + combined CRC against the
+    per-block CRCs (the check the serial decoder performs inline).
+
+    The tail is zero-padded to a byte, so the [EOS(48) crc(32)] fields
+    end 0..7 bits before the end; the unique EOS magic locates them.
+    """
+    from starch3_tpu.codec.crc32 import combine_block_crc
+    from starch3_tpu.codec.encoder import STREAM_END_MAGIC
+
+    combined = 0
+    for c in block_crcs:
+        combined = combine_block_crc(combined, c)
+    tail = int.from_bytes(stream[-11:], "big")
+    for pad in range(8):
+        candidate = tail >> pad
+        if (candidate >> 32) & 0xFFFFFFFFFFFF == STREAM_END_MAGIC:
+            if candidate & 0xFFFFFFFF != combined:
+                raise FormatError(f"{chrom}: combined CRC mismatch")
+            return
+    raise FormatError(f"{chrom}: missing stream-end magic")
+
+
 def decompress_starch_bytes(data: bytes, workers: int | None = None) -> bytes:
     """.starch archive bytes -> BED text (byte-exact round trip).
 
     Streams are independent, so decode runs them through a thread pool
     (the native decoder releases the GIL); results concatenate in
-    metadata order regardless of completion order.
+    metadata order regardless of completion order.  Multi-block streams
+    additionally decode block-parallel via the metadata block index.
     """
     reader = StarchReader.from_bytes(data)
     fmt = reader.metadata.compression_format
-
-    def decode_one(item, text=None):
-        meta, stream = item
-        if text is None:
-            text = _decompress_stream(stream, fmt)
-        if len(text) != meta.uncompressed_size:
-            raise FormatError(
-                f"{meta.chromosome}: uncompressed size mismatch "
-                f"({len(text)} != {meta.uncompressed_size})"
-            )
-        from starch3_tpu.runtime import untransform_bed_native
-
-        native = untransform_bed_native(meta.chromosome, text)
-        if native is not None:
-            bed_text, n_records = native
-        else:
-            block = untransform_chrom(meta.chromosome, text)
-            bed_text, n_records = write_bed_chrom(block), block.n_records
-        if n_records != meta.line_count:
-            raise FormatError(
-                f"{meta.chromosome}: line count mismatch "
-                f"({n_records} != {meta.line_count})"
-            )
-        return bed_text
 
     items = list(reader.iter_streams())
     if workers is None:
@@ -192,35 +218,44 @@ def decompress_starch_bytes(data: bytes, workers: int | None = None) -> bytes:
 
         from starch3_tpu.runtime import bz2_decode_block_native, get_lib
 
-        # two waves on one pool: the archive's per-stream block index
-        # (block_bit_offsets) lets multi-block streams decode
-        # block-parallel; then per-stream inverse transform + BED write
+        # per-stream flow on one pool: multi-block streams fan their
+        # blocks out (block_bit_offsets index); each stream's inverse
+        # transform is submitted as soon as its own blocks are joined, so
+        # later streams' blocks overlap earlier streams' untransform
         use_blocks = fmt == "bzip2" and get_lib() is not None
         with ThreadPoolExecutor(workers) as ex:
-            futs = {}
+            block_futs = []
             for si, (meta, stream) in enumerate(items):
                 offs = list(getattr(meta, "block_bit_offsets", []) or [])
+                sf = None
                 if use_blocks and len(offs) > 1 and len(stream) >= 4:
                     level = stream[3] - 0x30
                     if 1 <= level <= 9:
-                        for bi, off in enumerate(offs):
-                            futs[(si, bi)] = ex.submit(
-                                bz2_decode_block_native, stream, off, level
-                            )
-            texts = {}
-            for (si, bi), f in futs.items():
-                texts.setdefault(si, {})[bi] = f.result()[0]
-
-            def finish(si):
-                if si in texts:
-                    blocks = texts[si]
-                    text = b"".join(blocks[b] for b in range(len(blocks)))
-                    return decode_one(items[si], text)
-                return decode_one(items[si])
-
-            parts = list(ex.map(finish, range(len(items))))
+                        sf = [
+                            ex.submit(bz2_decode_block_native, stream, off, level)
+                            for off in offs
+                        ]
+                block_futs.append(sf)
+            finish_futs = []
+            for si, (meta, stream) in enumerate(items):
+                sf = block_futs[si]
+                if sf is not None:
+                    try:
+                        results = [f.result() for f in sf]
+                    except ValueError as e:
+                        raise FormatError(f"{meta.chromosome}: {e}") from e
+                    _verify_stream_tail(
+                        meta.chromosome, stream, [r[1] for r in results]
+                    )
+                    text = b"".join(r[0] for r in results)
+                else:
+                    text = None
+                finish_futs.append(
+                    ex.submit(_decode_stream_to_bed, meta, stream, fmt, text)
+                )
+            parts = [f.result() for f in finish_futs]
     else:
-        parts = [decode_one(it) for it in items]
+        parts = [_decode_stream_to_bed(meta, stream, fmt) for meta, stream in items]
     return b"".join(parts)
 
 
@@ -235,20 +270,9 @@ def extract_chromosome(data: bytes, chrom: str) -> bytes:
     reader = StarchReader.from_bytes(data)
     for meta in reader.metadata.streams:
         if meta.chromosome == chrom:
-            text = _decompress_stream(
-                reader.stream_bytes(chrom), reader.metadata.compression_format
+            return _decode_stream_to_bed(
+                meta, reader.stream_bytes(chrom), reader.metadata.compression_format
             )
-            if len(text) != meta.uncompressed_size:
-                raise FormatError(
-                    f"{chrom}: uncompressed size mismatch "
-                    f"({len(text)} != {meta.uncompressed_size})"
-                )
-            from starch3_tpu.runtime import untransform_bed_native
-
-            native = untransform_bed_native(chrom, text)
-            if native is not None:
-                return native[0]
-            return write_bed_chrom(untransform_chrom(chrom, text))
     raise FormatError(f"chromosome {chrom!r} not present in archive")
 
 

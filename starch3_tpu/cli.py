@@ -161,6 +161,8 @@ def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     try:
         opts = _parse_args(argv)
+        if opts["chrom"] and not opts["decode"]:
+            raise OptionError("--chrom requires --decode")
         data = _read_input(opts["input"])
         if opts["list"]:
             from starch3_tpu.api import list_chromosomes

@@ -13,7 +13,7 @@ Layout (format/SPEC.md has the normative description):
     [-128:] footer, fixed 128 bytes:
               [0:20]    decimal byte offset of the metadata, zero-padded
               [20:64]   base64(SHA-256(metadata bytes)), 44 chars
-              [64:80]   format tag, 'starch3-tpu/1.0' zero-padded
+              [64:80]   format tag, 'starch3-tpu/1.1' zero-padded
               [80:124]  reserved (zeros)
               [124:128] magic bytes again (archive self-identification
                         from either end)
@@ -35,7 +35,7 @@ from starch3_tpu.format.metadata import ArchiveMetadata, StreamMetadata
 
 ARCHIVE_MAGIC = bytes([0xCA, 0x5C, 0xAD, 0x1A])
 FOOTER_LEN = 128
-FORMAT_TAG = b"starch3-tpu/1.0"
+FORMAT_TAG = b"starch3-tpu/1.1"
 
 
 def build_footer(metadata_offset: int, metadata_bytes: bytes) -> bytes:

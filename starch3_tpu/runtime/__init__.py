@@ -375,18 +375,25 @@ def bz2_decode_block_native(stream: bytes, bit_offset: int, level: int):
     if lib is None:
         return None
     arr = np.frombuffer(stream, dtype=np.uint8)
-    cap = 100_000 * level + 64
-    out = np.empty(cap, dtype=np.uint8)
+    # RLE1 expansion can reach ~52x the post-RLE1 block bytes; start at a
+    # typical size and grow on -2 (capacity) up to the true worst case
+    cap = 2 * 100_000 * level
+    max_cap = (100_000 * level + 64) // 5 * 259 + 1024
     crc = ctypes.c_uint32()
-    n = lib.s3_bz2_decode_block(
-        arr.ctypes.data, arr.size, bit_offset, out.ctypes.data, cap,
-        ctypes.byref(crc),
-    )
-    if n < 0:
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        n = lib.s3_bz2_decode_block(
+            arr.ctypes.data, arr.size, bit_offset, out.ctypes.data, cap,
+            ctypes.byref(crc),
+        )
+        if n >= 0:
+            return out[:n].tobytes(), int(crc.value)
+        if n == -2 and cap < max_cap:
+            cap = min(cap * 4, max_cap)
+            continue
         raise ValueError(
             "bzip2: corrupt stream" if n != -3 else "bzip2: CRC mismatch"
         )
-    return out[:n].tobytes(), int(crc.value)
 
 
 def rle1_decode_native(data: bytes):

@@ -19,6 +19,7 @@
 // (runtime/__init__.py) decides per-process.
 
 #include <algorithm>
+#include <mutex>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -855,16 +856,16 @@ struct BitReader {
 };
 
 static uint32_t g_crc_table[256];
-static bool g_crc_init = false;
+static std::once_flag g_crc_once;  // parallel decode threads race the init
 static void crc_init() {
-    if (g_crc_init) return;
-    for (uint32_t i = 0; i < 256; i++) {
-        uint32_t c = i << 24;
-        for (int k = 0; k < 8; k++)
-            c = (c & 0x80000000u) ? (c << 1) ^ 0x04C11DB7u : (c << 1);
-        g_crc_table[i] = c;
-    }
-    g_crc_init = true;
+    std::call_once(g_crc_once, [] {
+        for (uint32_t i = 0; i < 256; i++) {
+            uint32_t c = i << 24;
+            for (int k = 0; k < 8; k++)
+                c = (c & 0x80000000u) ? (c << 1) ^ 0x04C11DB7u : (c << 1);
+            g_crc_table[i] = c;
+        }
+    });
 }
 
 }  // namespace

@@ -86,6 +86,15 @@ def test_corrupt_archive_never_crashes(rng):
                 for s, l in zip(starts.tolist(), rng.integers(1, 200, 2000).tolist())
             )
         )
+    # chr3: large enough to span multiple bzip2 blocks, exercising the
+    # block-parallel decode path (block index + combined-CRC check)
+    starts = np.cumsum(rng.integers(1, 400, 60_000))
+    parts.append(
+        b"".join(
+            b"chr3\t%d\t%d\t%s\n" % (s, s + int(l), bytes([65 + s % 26]) * 40)
+            for s, l in zip(starts.tolist(), rng.integers(1, 200, 60_000).tolist())
+        )
+    )
     bed = b"".join(parts)
     archive = bytearray(compress_bed_bytes(bed))
     for trial in range(60):
