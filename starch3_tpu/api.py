@@ -14,7 +14,7 @@ import zlib
 from starch3_tpu.bed.parser import ChromBlock, parse_bed
 from starch3_tpu.bed.writer import write_bed_chrom
 from starch3_tpu.config import CompressionMethod, EncodeConfig
-from starch3_tpu.errors import FormatError, UnsupportedCodecError
+from starch3_tpu.errors import BedParseError, FormatError, UnsupportedCodecError
 from starch3_tpu.format.archive import StarchReader, StarchWriter
 from starch3_tpu.transform.delta import transform_chrom, untransform_chrom
 
@@ -195,6 +195,141 @@ def _verify_stream_tail(chrom: str, stream: bytes, block_crcs: list[int]) -> Non
                 raise FormatError(f"{chrom}: combined CRC mismatch")
             return
     raise FormatError(f"{chrom}: missing stream-end magic")
+
+
+def compress_bed_file(
+    in_path: str,
+    out_fh,
+    config: EncodeConfig | None = None,
+    chunk_bytes: int = 64 << 20,
+) -> None:
+    """Streaming file encode: constant memory in the corpus size.
+
+    Chromosomes are contiguous in sorted BED and every chromosome's
+    transform state starts fresh, so a chunk's interior chromosome groups
+    transform identically in isolation; only a group continuing across a
+    chunk boundary is carried as raw text and re-transformed when its
+    chromosome completes.  Peak memory ~ the largest single chromosome,
+    not the corpus (BASELINE.json config 5 scale).  Output bytes are
+    identical to ``compress_bed_bytes`` on the whole file.
+
+    Falls back to the in-memory path when the native runtime is absent.
+    """
+    import os
+
+    from starch3_tpu.format.archive import StarchFileWriter
+    from starch3_tpu.runtime import bed_transform_native, get_lib
+
+    config = config or EncodeConfig()
+    if get_lib() is None:
+        with open(in_path, "rb") as f:
+            out_fh.write(compress_bed_bytes(f.read(), config))
+        return
+
+    writer = StarchFileWriter(out_fh, note=config.note, compression=config.method.value)
+    seen: set[str] = set()
+
+    def emit(chrom: str, text: bytes, lc: int, nu: int, u: int) -> None:
+        if chrom in seen:
+            raise BedParseError(
+                f"chromosome {chrom!r} is not contiguous; input must be sorted"
+            )
+        seen.add(chrom)
+        stream, offsets = _compress_stream_ex(text, config)
+        writer.add_stream(
+            chrom,
+            stream,
+            uncompressed_size=len(text),
+            line_count=lc,
+            base_count_nonunique=nu,
+            base_count_unique=u,
+            block_bit_offsets=offsets,
+        )
+
+    def transform_or_raise(raw: bytes):
+        groups = bed_transform_native(raw)
+        if groups is None:
+            # parse error: rerun the NumPy parser for the exact diagnostic
+            _parse_transform(raw)
+            raise BedParseError("unparseable BED chunk")
+        return groups
+
+    carry_name: str | None = None
+    carry_parts: list[bytes] = []
+    partial = b""
+    with open(in_path, "rb") as f:
+        while True:
+            chunk = f.read(chunk_bytes)
+            if not chunk:
+                break
+            buf = partial + chunk
+            cut = buf.rfind(b"\n")
+            if cut < 0:
+                partial = buf
+                continue
+            partial = buf[cut + 1 :]
+            buf = buf[: cut + 1]
+            if not buf:
+                continue
+            groups = transform_or_raise(buf)
+            if not groups:
+                continue
+            # locate raw span boundaries: group k starts at its first
+            # line; derive spans by searching names in order
+            names = [g[0] for g in groups]
+            if carry_name is not None and names[0] == carry_name and len(groups) == 1:
+                carry_parts.append(buf)  # chromosome still continuing
+                continue
+            # split buf into per-group raw spans by walking line starts
+            spans = _group_spans(buf, names)
+            if carry_name is not None:
+                if names[0] == carry_name:
+                    carry_parts.append(buf[: spans[1][0]])
+                    groups = groups[1:]
+                    names = names[1:]
+                    spans = spans[1:]
+                carry_raw = b"".join(carry_parts)
+                for g in transform_or_raise(carry_raw):
+                    emit(g[0], g[1], g[2], g[3], g[4])
+                carry_name, carry_parts = None, []
+            # all groups except the last are fully bounded: final
+            for g in groups[:-1]:
+                emit(g[0], g[1], g[2], g[3], g[4])
+            carry_name = names[-1]
+            carry_parts = [buf[spans[-1][0] :]]
+    if partial:
+        carry_parts.append(partial)  # final line without newline
+        if carry_name is None:
+            carry_name = ""  # force a flush parse below
+    if carry_parts:
+        carry_raw = b"".join(carry_parts)
+        for g in transform_or_raise(carry_raw):
+            emit(g[0], g[1], g[2], g[3], g[4])
+    writer.finish()
+
+
+def _group_spans(buf: bytes, names: list[str]) -> list[tuple[int, int]]:
+    """Byte spans [start, end) of each chromosome group in line-aligned
+    ``buf`` (groups are contiguous runs of lines sharing the leading
+    name, in ``names`` order)."""
+    spans = []
+    pos = 0
+    for k, name in enumerate(names):
+        start = pos
+        if k + 1 < len(names):
+            nxt = names[k + 1].encode("ascii") + b"\t"
+            # advance line by line until the next group's name leads
+            p = pos
+            while p < len(buf):
+                if buf.startswith(nxt, p):
+                    break
+                nl = buf.find(b"\n", p)
+                p = len(buf) if nl < 0 else nl + 1
+            pos = p
+            spans.append((start, pos))
+        else:
+            spans.append((start, len(buf)))
+    return spans
 
 
 def decompress_starch_bytes(data: bytes, workers: int | None = None) -> bytes:

@@ -163,6 +163,27 @@ def main(argv: list[str] | None = None) -> int:
         opts = _parse_args(argv)
         if opts["chrom"] and not opts["decode"]:
             raise OptionError("--chrom requires --decode")
+        encode = not (opts["decode"] or opts["list"])
+        if encode and opts["input"] not in (None, "-") :
+            # named-file encode streams chunk-by-chunk (constant memory in
+            # the corpus size; api.compress_bed_file) straight to the sink
+            from starch3_tpu.api import compress_bed_file
+
+            if not os.path.exists(opts["input"]):
+                raise InputUnavailableError(
+                    f"input file {opts['input']!r} does not exist"
+                )
+            config = EncodeConfig(
+                note=opts["note"],
+                method=opts["method"] or CompressionMethod.default(),
+                use_jax=opts["jax"],
+            )
+            if opts["output"]:
+                with open(opts["output"], "wb") as f:
+                    compress_bed_file(opts["input"], f, config)
+            else:
+                compress_bed_file(opts["input"], sys.stdout.buffer, config)
+            return 0
         data = _read_input(opts["input"])
         if opts["list"]:
             from starch3_tpu.api import list_chromosomes

@@ -101,6 +101,31 @@ class StarchWriter:
         return b"".join(self._chunks) + meta_bytes + footer
 
 
+class StarchFileWriter(StarchWriter):
+    """StarchWriter that spills each stream to a file object as it
+    arrives instead of accumulating in memory — the constant-memory sink
+    of the streaming encoder (api.compress_bed_file).  Bytes written are
+    identical to StarchWriter's for the same inputs."""
+
+    def __init__(self, fh, note: str = "", compression: str = "bzip2") -> None:
+        super().__init__(note=note, compression=compression)
+        self._fh = fh
+        fh.write(ARCHIVE_MAGIC)
+        self._chunks.clear()  # magic already on disk; nothing buffers
+
+    def add_stream(self, chrom: str, compressed: bytes, **kw) -> None:
+        super().add_stream(chrom, compressed, **kw)
+        self._fh.write(self._chunks.pop())
+
+    def finish(self) -> None:
+        meta = ArchiveMetadata(
+            note=self.note, compression_format=self.compression, streams=self._streams
+        )
+        meta_bytes = meta.to_json_bytes()
+        self._fh.write(meta_bytes)
+        self._fh.write(build_footer(self._offset, meta_bytes))
+
+
 @dataclass
 class StarchReader:
     metadata: ArchiveMetadata

@@ -2,6 +2,8 @@
 
 import bz2
 
+import numpy as np
+
 import pytest
 
 from starch3_tpu.api import compress_bed_bytes, decompress_starch_bytes, list_chromosomes
@@ -99,3 +101,42 @@ class TestEndToEnd:
     def test_empty_input(self):
         archive = compress_bed_bytes(b"")
         assert decompress_starch_bytes(archive) == b""
+
+
+class TestStreamingFileEncode:
+    def test_identical_to_bytes_api(self, tmp_path, rng):
+        import io
+
+        from starch3_tpu.api import compress_bed_bytes, compress_bed_file
+
+        parts = []
+        for c in ["chr1", "chr10", "chr2"]:
+            n = int(rng.integers(200, 2000))
+            starts = np.cumsum(rng.integers(1, 400, n))
+            parts.append(
+                b"".join(
+                    b"%s\t%d\t%d\n" % (c.encode(), s, s + int(l))
+                    for s, l in zip(starts.tolist(), rng.integers(1, 200, n).tolist())
+                )
+            )
+        bed = b"".join(parts)
+        p = tmp_path / "in.bed"
+        p.write_bytes(bed)
+        want = compress_bed_bytes(bed)
+        for chunk in (1 << 12, 1 << 16, 1 << 24):
+            fh = io.BytesIO()
+            compress_bed_file(str(p), fh, chunk_bytes=chunk)
+            assert fh.getvalue() == want
+
+    def test_non_contiguous_raises(self, tmp_path):
+        import io
+
+        import pytest
+
+        from starch3_tpu.api import compress_bed_file
+        from starch3_tpu.errors import BedParseError
+
+        p = tmp_path / "bad.bed"
+        p.write_bytes(b"chr1\t1\t2\nchr2\t1\t2\nchr1\t5\t9\n")
+        with pytest.raises(BedParseError):
+            compress_bed_file(str(p), io.BytesIO(), chunk_bytes=8)
