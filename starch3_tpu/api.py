@@ -394,6 +394,30 @@ def decompress_starch_bytes(data: bytes, workers: int | None = None) -> bytes:
     return b"".join(parts)
 
 
+def decompress_starch_file(in_path: str, out_fh, workers: int | None = None) -> None:
+    """Streaming archive decode: holds the (compressed) archive plus a
+    bounded window of decoded streams — memory is bounded by a few
+    chromosomes, not the decoded corpus.  Streams decode on a thread
+    pool and are written in archive order."""
+    import os
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    with open(in_path, "rb") as f:
+        reader = StarchReader.from_bytes(f.read())
+    fmt = reader.metadata.compression_format
+    if workers is None:
+        workers = os.cpu_count() or 1
+    with ThreadPoolExecutor(workers) as ex:
+        pending = deque()
+        for meta, stream in reader.iter_streams():
+            pending.append(ex.submit(_decode_stream_to_bed, meta, stream, fmt))
+            while len(pending) > 2 * workers:
+                out_fh.write(pending.popleft().result())
+        while pending:
+            out_fh.write(pending.popleft().result())
+
+
 def extract_chromosome(data: bytes, chrom: str) -> bytes:
     """Random-access decode of one chromosome's BED records.
 

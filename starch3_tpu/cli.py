@@ -184,6 +184,24 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 compress_bed_file(opts["input"], sys.stdout.buffer, config)
             return 0
+        if (
+            opts["decode"]
+            and not opts["chrom"]
+            and opts["input"] not in (None, "-")
+        ):
+            # named-file decode: windowed parallel streams written in order
+            from starch3_tpu.api import decompress_starch_file
+
+            if not os.path.exists(opts["input"]):
+                raise InputUnavailableError(
+                    f"input file {opts['input']!r} does not exist"
+                )
+            if opts["output"]:
+                with open(opts["output"], "wb") as f:
+                    decompress_starch_file(opts["input"], f)
+            else:
+                decompress_starch_file(opts["input"], sys.stdout.buffer)
+            return 0
         data = _read_input(opts["input"])
         if opts["list"]:
             from starch3_tpu.api import list_chromosomes

@@ -100,3 +100,23 @@ def test_cli_chrom_flag(tmp_path, capsysbinary):
     assert main([str(bed), "-o", str(arch)]) == 0
     assert main(["--decode", "--chrom", "chrB", str(arch)]) == 0
     assert capsysbinary.readouterr().out == b"chrB\t4\t9\n"
+
+
+def test_streaming_decode_file_matches(tmp_path):
+    import io
+
+    from starch3_tpu.api import (
+        compress_bed_bytes,
+        decompress_starch_file,
+    )
+
+    bed = b"".join(
+        b"chr%d\t%d\t%d\n" % (c, i * 7, i * 7 + 5)
+        for c in (1, 2, 3)
+        for i in range(500)
+    )
+    arch = tmp_path / "a.starch"
+    arch.write_bytes(compress_bed_bytes(bed))
+    fh = io.BytesIO()
+    decompress_starch_file(str(arch), fh)
+    assert fh.getvalue() == bed
