@@ -36,7 +36,9 @@ def _compress_stream(text: bytes, config: EncodeConfig) -> bytes:
     raise UnsupportedCodecError(f"unknown codec {config.method}")
 
 
-def _compress_stream_ex(text: bytes, config: EncodeConfig) -> tuple[bytes, list[int]]:
+def _compress_stream_ex(
+    text: bytes, config: EncodeConfig, workers: int | None = None
+) -> tuple[bytes, list[int]]:
     """Like _compress_stream but also returns the per-block bit offsets
     (the archive block index) for bzip2 streams."""
     if config.method is CompressionMethod.BZIP2:
@@ -51,7 +53,7 @@ def _compress_stream_ex(text: bytes, config: EncodeConfig) -> tuple[bytes, list[
         else:
             from starch3_tpu.codec.encoder import bz2_compress_ex
 
-            enc = bz2_compress_ex(text, config.block_size_100k)
+            enc = bz2_compress_ex(text, config.block_size_100k, workers=workers)
         return enc.data, list(enc.block_bit_offsets)
     return _compress_stream(text, config), []
 
@@ -96,7 +98,7 @@ def _parse_transform(data: bytes):
                     base_count_nonunique=nu,
                     base_count_unique=u,
                 )
-                for c, text, lc, nu, u in native
+                for c, text, lc, nu, u, _off in native
             ]
         # duplicate (non-contiguous) chromosomes: let the NumPy parser
         # raise its exact error
@@ -226,25 +228,49 @@ def compress_bed_file(
             out_fh.write(compress_bed_bytes(f.read(), config))
         return
 
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     writer = StarchFileWriter(out_fh, note=config.note, compression=config.method.value)
     seen: set[str] = set()
+    workers = os.cpu_count() or 1
+    pool = ThreadPoolExecutor(workers)
+    pending: deque = deque()  # (chrom, text_len, lc, nu, u, future)
+
+    def drain(limit: int) -> None:
+        while len(pending) > limit:
+            chrom, tlen, lc, nu, u, fut = pending.popleft()
+            stream, offsets = fut.result()
+            writer.add_stream(
+                chrom,
+                stream,
+                uncompressed_size=tlen,
+                line_count=lc,
+                base_count_nonunique=nu,
+                base_count_unique=u,
+                block_bit_offsets=offsets,
+            )
 
     def emit(chrom: str, text: bytes, lc: int, nu: int, u: int) -> None:
+        # chromosome streams compress on the pool; archive writes stay in
+        # input order via the bounded window (single giant chromosomes
+        # additionally fan their blocks out inside bz2_compress_ex)
         if chrom in seen:
             raise BedParseError(
                 f"chromosome {chrom!r} is not contiguous; input must be sorted"
             )
         seen.add(chrom)
-        stream, offsets = _compress_stream_ex(text, config)
-        writer.add_stream(
-            chrom,
-            stream,
-            uncompressed_size=len(text),
-            line_count=lc,
-            base_count_nonunique=nu,
-            base_count_unique=u,
-            block_bit_offsets=offsets,
+        pending.append(
+            (
+                chrom,
+                len(text),
+                lc,
+                nu,
+                u,
+                pool.submit(_compress_stream_ex, text, config, workers),
+            )
         )
+        drain(2 * workers)
 
     def transform_or_raise(raw: bytes):
         groups = bed_transform_native(raw)
@@ -274,14 +300,14 @@ def compress_bed_file(
             groups = transform_or_raise(buf)
             if not groups:
                 continue
-            # locate raw span boundaries: group k starts at its first
-            # line; derive spans by searching names in order
+            # raw span boundaries come straight from the parse: group k's
+            # raw text spans [off_k, off_{k+1}) in buf
             names = [g[0] for g in groups]
             if carry_name is not None and names[0] == carry_name and len(groups) == 1:
                 carry_parts.append(buf)  # chromosome still continuing
                 continue
-            # split buf into per-group raw spans by walking line starts
-            spans = _group_spans(buf, names)
+            offs = [g[5] for g in groups] + [len(buf)]
+            spans = [(offs[k], offs[k + 1]) for k in range(len(groups))]
             if carry_name is not None:
                 if names[0] == carry_name:
                     carry_parts.append(buf[: spans[1][0]])
@@ -305,31 +331,11 @@ def compress_bed_file(
         carry_raw = b"".join(carry_parts)
         for g in transform_or_raise(carry_raw):
             emit(g[0], g[1], g[2], g[3], g[4])
+    try:
+        drain(0)
+    finally:
+        pool.shutdown(wait=True)
     writer.finish()
-
-
-def _group_spans(buf: bytes, names: list[str]) -> list[tuple[int, int]]:
-    """Byte spans [start, end) of each chromosome group in line-aligned
-    ``buf`` (groups are contiguous runs of lines sharing the leading
-    name, in ``names`` order)."""
-    spans = []
-    pos = 0
-    for k, name in enumerate(names):
-        start = pos
-        if k + 1 < len(names):
-            nxt = names[k + 1].encode("ascii") + b"\t"
-            # advance line by line until the next group's name leads
-            p = pos
-            while p < len(buf):
-                if buf.startswith(nxt, p):
-                    break
-                nl = buf.find(b"\n", p)
-                p = len(buf) if nl < 0 else nl + 1
-            pos = p
-            spans.append((start, pos))
-        else:
-            spans.append((start, len(buf)))
-    return spans
 
 
 def decompress_starch_bytes(data: bytes, workers: int | None = None) -> bytes:

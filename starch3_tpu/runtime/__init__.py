@@ -284,6 +284,10 @@ def bed_transform_native(data: bytes):
                 int(line_counts[k]),
                 int(nonuniq[k]),
                 int(uniq[k]),
+                # raw-input offset of the group's first line (the start of
+                # its span in ``data``; consumers slice group k's raw text
+                # as data[off_k : off_{k+1}])
+                int(name_offsets[k]),
             )
         )
     return result
