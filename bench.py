@@ -79,10 +79,17 @@ def measure_encode(bed: bytes, use_jax: bool, reps: int = 3) -> tuple[float, byt
 
 def main() -> int:
     if "--jax-worker" in sys.argv:
-        # subprocess mode: attempt the device path on chr21, print seconds
-        bed = make_chr21_bed()
+        # subprocess mode: attempt the device path on a 20K-interval
+        # chr21 slice (131 072-element geometry bucket — the largest
+        # program the tunneled backend reliably compiles inside the
+        # timeout; measured ~325 s AOT for it vs >10 min for the full
+        # 901 120 bucket).  Steady-state here is tunnel-dispatch-latency
+        # bound (~0.3 s/round trip), not kernel bound.
+        bed = make_chr21_bed(20_000)
         dt, archive = measure_encode(bed, use_jax=True)
-        sys.stdout.write(json.dumps({"seconds": dt, "n": len(archive)}) + "\n")
+        sys.stdout.write(
+            json.dumps({"seconds": dt, "n": len(archive), "in": len(bed)}) + "\n"
+        )
         return 0
 
     from starch3_tpu.api import _parse_transform, decompress_starch_bytes
@@ -131,7 +138,7 @@ def main() -> int:
             )
             if r.returncode == 0:
                 out = json.loads(r.stdout.decode().strip().splitlines()[-1])
-                jax_mbps = len(bed21) / out["seconds"] / 1e6
+                jax_mbps = out["in"] / out["seconds"] / 1e6
         except (subprocess.TimeoutExpired, Exception):
             jax_mbps = None
 
@@ -150,7 +157,7 @@ def main() -> int:
                     "baseline_libbz2_1core_mb_s": round(baseline_mbps, 3),
                     "decode_mb_s": round(decode_mbps, 3),
                     "chr21_single_stream_mb_s": round(chr21_mbps, 3),
-                    "chr21_jax_path_mb_s": round(jax_mbps, 3) if jax_mbps else None,
+                    "jax_path_mb_s_20k_tunnel_latency_bound": round(jax_mbps, 3) if jax_mbps else None,
                 },
             }
         )
