@@ -142,7 +142,7 @@ def main() -> int:
         except (subprocess.TimeoutExpired, Exception):
             jax_mbps = None
 
-    mbps = max(host_mbps, jax_mbps or 0.0)
+    mbps = host_mbps  # device-path detail is a different (small) workload
     print(
         json.dumps(
             {

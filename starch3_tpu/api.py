@@ -215,7 +215,11 @@ def compress_bed_file(
     not the corpus (BASELINE.json config 5 scale).  Output bytes are
     identical to ``compress_bed_bytes`` on the whole file.
 
-    Falls back to the in-memory path when the native runtime is absent.
+    Peak memory ~ a small window of chromosomes (the pool's in-flight
+    texts), not the corpus.  Falls back to the in-memory path when the
+    native runtime is absent, or when ``use_jax`` is set (the device
+    queue batches blocks across all chromosomes — per-chromosome
+    dispatches would forfeit that, api.compress_bed_bytes).
     """
     import os
 
@@ -223,7 +227,7 @@ def compress_bed_file(
     from starch3_tpu.runtime import bed_transform_native, get_lib
 
     config = config or EncodeConfig()
-    if get_lib() is None:
+    if get_lib() is None or config.use_jax:
         with open(in_path, "rb") as f:
             out_fh.write(compress_bed_bytes(f.read(), config))
         return
@@ -234,12 +238,21 @@ def compress_bed_file(
     writer = StarchFileWriter(out_fh, note=config.note, compression=config.method.value)
     seen: set[str] = set()
     workers = os.cpu_count() or 1
+    # one block spans at most ~1.01 MB of transformed text (900 kB
+    # post-RLE1 at worst-case 4/5 shrink); streams bigger than a couple
+    # of blocks compress exclusively with the block pool instead of
+    # nesting a per-stream pool inside the stream pool
+    big_stream = 4 * 100_000 * config.block_size_100k
+    window_bytes = 512 << 20  # cap on queued uncompressed text
     pool = ThreadPoolExecutor(workers)
     pending: deque = deque()  # (chrom, text_len, lc, nu, u, future)
+    inflight = 0  # queued uncompressed bytes
 
     def drain(limit: int) -> None:
-        while len(pending) > limit:
+        nonlocal inflight
+        while len(pending) > limit or (pending and inflight > window_bytes):
             chrom, tlen, lc, nu, u, fut = pending.popleft()
+            inflight -= tlen
             stream, offsets = fut.result()
             writer.add_stream(
                 chrom,
@@ -253,24 +266,33 @@ def compress_bed_file(
 
     def emit(chrom: str, text: bytes, lc: int, nu: int, u: int) -> None:
         # chromosome streams compress on the pool; archive writes stay in
-        # input order via the bounded window (single giant chromosomes
-        # additionally fan their blocks out inside bz2_compress_ex)
+        # input order via the bounded window
         if chrom in seen:
             raise BedParseError(
                 f"chromosome {chrom!r} is not contiguous; input must be sorted"
             )
         seen.add(chrom)
-        pending.append(
-            (
+        if len(text) > big_stream:
+            # multi-block chromosome: drain the window, then let this
+            # stream's own blocks use the whole machine (no pool nesting)
+            drain(0)
+            stream, offsets = _compress_stream_ex(text, config, workers)
+            writer.add_stream(
                 chrom,
-                len(text),
-                lc,
-                nu,
-                u,
-                pool.submit(_compress_stream_ex, text, config, workers),
+                stream,
+                uncompressed_size=len(text),
+                line_count=lc,
+                base_count_nonunique=nu,
+                base_count_unique=u,
+                block_bit_offsets=offsets,
             )
+            return
+        nonlocal inflight
+        inflight += len(text)
+        pending.append(
+            (chrom, len(text), lc, nu, u, pool.submit(_compress_stream_ex, text, config))
         )
-        drain(2 * workers)
+        drain(workers + 1)
 
     def transform_or_raise(raw: bytes):
         groups = bed_transform_native(raw)
@@ -280,61 +302,61 @@ def compress_bed_file(
             raise BedParseError("unparseable BED chunk")
         return groups
 
-    carry_name: str | None = None
-    carry_parts: list[bytes] = []
-    partial = b""
-    with open(in_path, "rb") as f:
-        while True:
-            chunk = f.read(chunk_bytes)
-            if not chunk:
-                break
-            buf = partial + chunk
-            cut = buf.rfind(b"\n")
-            if cut < 0:
-                partial = buf
-                continue
-            partial = buf[cut + 1 :]
-            buf = buf[: cut + 1]
-            if not buf:
-                continue
-            groups = transform_or_raise(buf)
-            if not groups:
-                continue
-            # raw span boundaries come straight from the parse: group k's
-            # raw text spans [off_k, off_{k+1}) in buf
-            names = [g[0] for g in groups]
-            if carry_name is not None and names[0] == carry_name and len(groups) == 1:
-                carry_parts.append(buf)  # chromosome still continuing
-                continue
-            offs = [g[5] for g in groups] + [len(buf)]
-            spans = [(offs[k], offs[k + 1]) for k in range(len(groups))]
-            if carry_name is not None:
-                if names[0] == carry_name:
-                    carry_parts.append(buf[: spans[1][0]])
-                    groups = groups[1:]
-                    names = names[1:]
-                    spans = spans[1:]
-                carry_raw = b"".join(carry_parts)
-                for g in transform_or_raise(carry_raw):
-                    emit(g[0], g[1], g[2], g[3], g[4])
-                carry_name, carry_parts = None, []
-            # all groups except the last are fully bounded: final
-            for g in groups[:-1]:
-                emit(g[0], g[1], g[2], g[3], g[4])
-            carry_name = names[-1]
-            carry_parts = [buf[spans[-1][0] :]]
-    if partial:
-        carry_parts.append(partial)  # final line without newline
-        if carry_name is None:
-            carry_name = ""  # force a flush parse below
-    if carry_parts:
-        carry_raw = b"".join(carry_parts)
-        for g in transform_or_raise(carry_raw):
-            emit(g[0], g[1], g[2], g[3], g[4])
     try:
+        carry_name: str | None = None
+        carry_parts: list[bytes] = []
+        partial = b""
+        with open(in_path, "rb") as f:
+            while True:
+                chunk = f.read(chunk_bytes)
+                if not chunk:
+                    break
+                buf = partial + chunk
+                cut = buf.rfind(b"\n")
+                if cut < 0:
+                    partial = buf
+                    continue
+                partial = buf[cut + 1 :]
+                buf = buf[: cut + 1]
+                groups = transform_or_raise(buf)
+                if not groups:
+                    continue
+                # raw span boundaries come straight from the parse: group
+                # k's raw text spans [off_k, off_{k+1}) in buf
+                names = [g[0] for g in groups]
+                if (
+                    carry_name is not None
+                    and names[0] == carry_name
+                    and len(groups) == 1
+                ):
+                    carry_parts.append(buf)  # chromosome still continuing
+                    continue
+                offs = [g[5] for g in groups] + [len(buf)]
+                spans = [(offs[k], offs[k + 1]) for k in range(len(groups))]
+                if carry_name is not None:
+                    if names[0] == carry_name:
+                        carry_parts.append(buf[: spans[1][0]])
+                        groups = groups[1:]
+                        names = names[1:]
+                        spans = spans[1:]
+                    carry_raw = b"".join(carry_parts)
+                    for g in transform_or_raise(carry_raw):
+                        emit(g[0], g[1], g[2], g[3], g[4])
+                    carry_name, carry_parts = None, []
+                # all groups except the last are fully bounded: final
+                for g in groups[:-1]:
+                    emit(g[0], g[1], g[2], g[3], g[4])
+                carry_name = names[-1]
+                carry_parts = [buf[spans[-1][0] :]]
+        if partial:
+            carry_parts.append(partial)  # final line without newline
+        if carry_parts:
+            carry_raw = b"".join(carry_parts)
+            for g in transform_or_raise(carry_raw):
+                emit(g[0], g[1], g[2], g[3], g[4])
         drain(0)
     finally:
-        pool.shutdown(wait=True)
+        pool.shutdown(wait=False, cancel_futures=True)
     writer.finish()
 
 
@@ -410,10 +432,18 @@ def decompress_starch_file(in_path: str, out_fh, workers: int | None = None) -> 
     from concurrent.futures import ThreadPoolExecutor
 
     with open(in_path, "rb") as f:
-        reader = StarchReader.from_bytes(f.read())
+        data = f.read()
+    reader = StarchReader.from_bytes(data)
     fmt = reader.metadata.compression_format
     if workers is None:
         workers = os.cpu_count() or 1
+    if len(reader.metadata.streams) <= 2 * workers:
+        # few streams: the in-memory path's block-level fan-out beats
+        # stream-level parallelism (e.g. one multi-block chromosome),
+        # and its memory ceiling is the same at this scale
+        out_fh.write(decompress_starch_bytes(data, workers=workers))
+        return
+    del data
     with ThreadPoolExecutor(workers) as ex:
         pending = deque()
         for meta, stream in reader.iter_streams():

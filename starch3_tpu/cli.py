@@ -157,6 +157,25 @@ def _read_input(path: str | None) -> bytes:
         return f.read()
 
 
+def _stream_to_sink(output: str | None, produce) -> None:
+    """Run a streaming producer into --output atomically (temp file +
+    rename, so a failure never truncates an existing file) or stdout."""
+    if not output:
+        produce(sys.stdout.buffer)
+        return
+    tmp = output + ".tmp"
+    try:
+        with open(tmp, "wb") as f:
+            produce(f)
+        os.replace(tmp, output)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     try:
@@ -178,11 +197,9 @@ def main(argv: list[str] | None = None) -> int:
                 method=opts["method"] or CompressionMethod.default(),
                 use_jax=opts["jax"],
             )
-            if opts["output"]:
-                with open(opts["output"], "wb") as f:
-                    compress_bed_file(opts["input"], f, config)
-            else:
-                compress_bed_file(opts["input"], sys.stdout.buffer, config)
+            _stream_to_sink(
+                opts["output"], lambda f: compress_bed_file(opts["input"], f, config)
+            )
             return 0
         if (
             opts["decode"]
@@ -196,11 +213,9 @@ def main(argv: list[str] | None = None) -> int:
                 raise InputUnavailableError(
                     f"input file {opts['input']!r} does not exist"
                 )
-            if opts["output"]:
-                with open(opts["output"], "wb") as f:
-                    decompress_starch_file(opts["input"], f)
-            else:
-                decompress_starch_file(opts["input"], sys.stdout.buffer)
+            _stream_to_sink(
+                opts["output"], lambda f: decompress_starch_file(opts["input"], f)
+            )
             return 0
         data = _read_input(opts["input"])
         if opts["list"]:

@@ -118,12 +118,8 @@ class StarchFileWriter(StarchWriter):
         self._fh.write(self._chunks.pop())
 
     def finish(self) -> None:
-        meta = ArchiveMetadata(
-            note=self.note, compression_format=self.compression, streams=self._streams
-        )
-        meta_bytes = meta.to_json_bytes()
-        self._fh.write(meta_bytes)
-        self._fh.write(build_footer(self._offset, meta_bytes))
+        # _chunks is empty, so the parent returns exactly metadata+footer
+        self._fh.write(super().finish())
 
 
 @dataclass

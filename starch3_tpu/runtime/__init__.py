@@ -244,10 +244,12 @@ def emit_decimals_native(
 def bed_transform_native(data: bytes):
     """Fused BED parse + delta transform (runtime.cpp s3_bed_transform).
 
-    Returns a list of (chrom_name: str, text: bytes, line_count,
-    base_count_nonunique, base_count_unique) in input order, or None to
-    fall back to the NumPy path (unavailable runtime, or any parse error
-    — the fallback re-raises with exact diagnostics).
+    Returns a list of 6-tuples (chrom_name: str, text: bytes, line_count,
+    base_count_nonunique, base_count_unique, raw_input_offset) in input
+    order — raw_input_offset is the byte offset of the group's first
+    line in ``data`` — or None to fall back to the NumPy path
+    (unavailable runtime, or any parse error — the fallback re-raises
+    with exact diagnostics).
     """
     lib = get_lib()
     if lib is None or not data:
