@@ -107,47 +107,56 @@ def _parse_transform(data: bytes):
 
 def compress_bed_bytes(data: bytes, config: EncodeConfig | None = None) -> bytes:
     """BED text -> .starch archive bytes."""
+    from starch3_tpu.observability import StageTimer, logger
+
+    timer = StageTimer()
     config = config or EncodeConfig()
     writer = StarchWriter(note=config.note, compression=config.method.value)
-    transformed = _parse_transform(data)
-    if config.use_jax and config.method is CompressionMethod.BZIP2 and transformed:
-        # one global device queue across all chromosomes: blocks from
-        # every stream share batches, so N small chromosomes cost ~N/batch
-        # dispatches instead of N (parallel/pipeline.py encode_streams)
-        from starch3_tpu.parallel.pipeline import encode_streams
+    with timer.stage("parse+transform", len(data)):
+        transformed = _parse_transform(data)
+    total_text = sum(len(tf.text) for tf in transformed)
+    with timer.stage("compress", total_text):
+        if config.use_jax and config.method is CompressionMethod.BZIP2 and transformed:
+            # one global device queue across all chromosomes: blocks from
+            # every stream share batches, so N small chromosomes cost
+            # ~N/batch dispatches instead of N (parallel/pipeline.py)
+            from starch3_tpu.parallel.pipeline import encode_streams
 
-        streams = encode_streams(
-            [tf.text for tf in transformed],
-            level=config.block_size_100k,
-            batch_size=config.blocks_per_batch,
-        )
-    elif config.method is CompressionMethod.BZIP2 and transformed:
-        # host path: shared thread pool over every stream's blocks (the
-        # native stages release the GIL)
-        import os
+            streams = encode_streams(
+                [tf.text for tf in transformed],
+                level=config.block_size_100k,
+                batch_size=config.blocks_per_batch,
+            )
+        elif config.method is CompressionMethod.BZIP2 and transformed:
+            # host path: shared thread pool over every stream's blocks
+            # (the native stages release the GIL)
+            import os
 
-        from starch3_tpu.codec.encoder import encode_streams_host
+            from starch3_tpu.codec.encoder import encode_streams_host
 
-        streams = encode_streams_host(
-            [tf.text for tf in transformed],
-            level=config.block_size_100k,
-            workers=os.cpu_count(),
-        )
-    else:
-        streams = [_compress_stream(tf.text, config) for tf in transformed]
-    for tf, enc in zip(transformed, streams):
-        compressed = enc if isinstance(enc, bytes) else enc.data
-        offsets = [] if isinstance(enc, bytes) else list(enc.block_bit_offsets)
-        writer.add_stream(
-            tf.chrom,
-            compressed,
-            uncompressed_size=len(tf.text),
-            line_count=tf.line_count,
-            base_count_nonunique=tf.base_count_nonunique,
-            base_count_unique=tf.base_count_unique,
-            block_bit_offsets=offsets,
-        )
-    return writer.finish()
+            streams = encode_streams_host(
+                [tf.text for tf in transformed],
+                level=config.block_size_100k,
+                workers=os.cpu_count(),
+            )
+        else:
+            streams = [_compress_stream(tf.text, config) for tf in transformed]
+    with timer.stage("assemble"):
+        for tf, enc in zip(transformed, streams):
+            compressed = enc if isinstance(enc, bytes) else enc.data
+            offsets = [] if isinstance(enc, bytes) else list(enc.block_bit_offsets)
+            writer.add_stream(
+                tf.chrom,
+                compressed,
+                uncompressed_size=len(tf.text),
+                line_count=tf.line_count,
+                base_count_nonunique=tf.base_count_nonunique,
+                base_count_unique=tf.base_count_unique,
+                block_bit_offsets=offsets,
+            )
+        archive = writer.finish()
+    logger.debug("encode stages: %s", timer.report())
+    return archive
 
 
 def _decode_stream_to_bed(meta, stream: bytes, fmt: str, text: bytes | None = None) -> bytes:
