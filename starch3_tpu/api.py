@@ -73,9 +73,15 @@ def _decompress_stream(data: bytes, compression_format: str) -> bytes:
             return out
         import bz2
 
-        return bz2.decompress(data)
+        try:
+            return bz2.decompress(data)
+        except (OSError, EOFError, ValueError) as e:
+            raise FormatError(f"bzip2: {e}") from e
     if compression_format == "gzip":
-        return zlib.decompress(data, 31)
+        try:
+            return zlib.decompress(data, 31)
+        except zlib.error as e:
+            raise FormatError(f"gzip: {e}") from e
     raise UnsupportedCodecError(f"unknown codec {compression_format!r}")
 
 

@@ -54,12 +54,17 @@ class StageTimer:
 
 @contextlib.contextmanager
 def _named_scope(name: str):
+    # the guarded part is acquiring the scope, never the caller's body —
+    # wrapping the yield in try/except would swallow exceptions thrown
+    # into the generator and yield twice
     try:
         import jax
 
-        with jax.named_scope(name):
-            yield
+        scope = jax.named_scope(name)
     except Exception:
+        yield
+        return
+    with scope:
         yield
 
 
