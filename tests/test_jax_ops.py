@@ -146,3 +146,24 @@ class TestJaxPipeline:
         # archive bytes must be independent of topology (BASELINE.json
         # determinism requirement)
         assert jax_bz2_compress(data, mesh=mesh) == bz2.compress(data, 9)
+
+
+class TestDeviceBitPack:
+    """ops/bitpack_jax.py: the device restatement of codec/bitio.pack_bits
+    (fields -> MSB-first stream via cumsum offsets + two scatter-adds)."""
+
+    def test_matches_host_packer(self, rng):
+        from starch3_tpu.codec.bitio import pack_bits
+        from starch3_tpu.ops.bitpack_jax import pack_bits_via_device
+
+        for _ in range(8):
+            n = int(rng.integers(1, 2000))
+            bits = rng.integers(1, 49, n)
+            vals = rng.integers(0, 1 << 48, n, dtype=np.uint64) & (
+                (np.uint64(1) << bits.astype(np.uint64)) - np.uint64(1)
+            )
+            whole, tail, tail_n = pack_bits(vals, bits)
+            ref = whole + (
+                bytes([(tail << (8 - tail_n)) & 0xFF]) if tail_n else b""
+            )
+            assert pack_bits_via_device(vals, bits) == ref
