@@ -1409,7 +1409,8 @@ int64_t s3_untransform_bed(const uint8_t* text, int64_t n,
         stop += delta + diff;
         int64_t start = stop - diff;
         int64_t rem_len = tb ? le - (de + 1) : 0;
-        if (o + chrom_len + 44 + rem_len > out_cap) return -2;
+        // worst case: 2 signed 20-digit coords + 2 tabs + rem tab + nl
+        if (o + chrom_len + 46 + rem_len > out_cap) return -2;
         uint8_t* w = out + o;
         memcpy(w, chrom, (size_t)chrom_len);
         w += chrom_len;
