@@ -167,3 +167,34 @@ class TestDeviceBitPack:
                 bytes([(tail << (8 - tail_n)) & 0xFF]) if tail_n else b""
             )
             assert pack_bits_via_device(vals, bits) == ref
+
+
+class TestDeviceRle2:
+    """ops/rle2_jax.py vs the host oracle (codec/mtf.mtf_rle2_from_ranks):
+    zero-run bijective-base-2 digits, rank shift, EOB, frequencies."""
+
+    def test_matches_oracle(self, rng):
+        import jax.numpy as jnp
+
+        from starch3_tpu.codec.mtf import mtf_rle2_from_ranks
+        from starch3_tpu.ops.rle2_jax import rle2_from_ranks_padded
+
+        n_max = 2048
+        for trial in range(12):
+            n = int(rng.integers(1, n_max))
+            n_in_use = int(rng.integers(1, 256))
+            ranks = np.where(
+                rng.random(n) < 0.7, 0, rng.integers(1, n_in_use, n)
+            ).astype(np.int32)
+            if trial == 0:
+                ranks[:] = 0  # all-zero stream: digits + EOB only
+            in_use = np.zeros(256, bool)
+            in_use[:n_in_use] = True
+            ref = mtf_rle2_from_ranks(ranks.astype(np.uint8), in_use)
+            pad = np.zeros(n_max, np.int32)
+            pad[:n] = ranks
+            syms, m, freq = rle2_from_ranks_padded(
+                jnp.asarray(pad), np.int32(n), np.int32(n_in_use), n_max
+            )
+            assert np.array_equal(np.asarray(syms)[: int(m)], ref.symbols)
+            assert np.array_equal(np.asarray(freq)[: ref.alpha_size], ref.freq)
