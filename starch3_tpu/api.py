@@ -49,6 +49,7 @@ def _compress_stream_ex(
                 [text],
                 level=config.block_size_100k,
                 batch_size=config.blocks_per_batch,
+                device_rle2=getattr(config, "device_rle2", False),
             )[0]
         else:
             from starch3_tpu.codec.encoder import bz2_compress_ex
@@ -132,6 +133,7 @@ def compress_bed_bytes(data: bytes, config: EncodeConfig | None = None) -> bytes
                 [tf.text for tf in transformed],
                 level=config.block_size_100k,
                 batch_size=config.blocks_per_batch,
+                device_rle2=config.device_rle2,
             )
         elif config.method is CompressionMethod.BZIP2 and transformed:
             # host path: shared thread pool over every stream's blocks

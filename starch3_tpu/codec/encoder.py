@@ -79,6 +79,30 @@ def write_block_from_ranks(
     _write_block_tail(bw, crc, orig_ptr, mtf_rle2_from_ranks(ranks, in_use))
 
 
+def write_block_from_device_syms(
+    bw: BitWriter,
+    crc: int,
+    orig_ptr: int,
+    symbols: np.ndarray,
+    freq: np.ndarray,
+    in_use: np.ndarray,
+) -> None:
+    """Encode a block from the fully-on-device pipeline's outputs
+    (ops/rle2_jax.py): the RLE2 symbol stream and its histogram arrive
+    from HBM; only Huffman planning + bit emission remain."""
+    from starch3_tpu.codec.mtf import MtfResult
+
+    n_in_use = int(in_use.sum())
+    alpha = n_in_use + 2
+    mtf = MtfResult(
+        symbols=symbols.astype(np.int32),
+        freq=freq[:alpha].astype(np.int64),
+        in_use=in_use,
+        alpha_size=alpha,
+    )
+    _write_block_tail(bw, crc, orig_ptr, mtf)
+
+
 def _write_block_tail(bw: BitWriter, crc: int, orig_ptr: int, mtf) -> None:
     plan = huffman.build_plan(mtf.symbols, mtf.freq, mtf.alpha_size)
 

@@ -58,6 +58,11 @@ class EncodeConfig:
     use_jax: bool = False
     #: number of 900 kB blocks batched per device dispatch on the JAX path
     blocks_per_batch: int = 8
+    #: extend the fused device step through RLE2 (ops/rle2_jax.py), so
+    #: the download is the coded symbol stream rather than MTF ranks.
+    #: Default off: it lengthens the device program's one-time compile,
+    #: which dominates short runs on tunneled backends
+    device_rle2: bool = False
 
     def __post_init__(self) -> None:
         if not 1 <= self.block_size_100k <= 9:

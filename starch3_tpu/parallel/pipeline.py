@@ -24,7 +24,11 @@ import numpy as np
 
 from starch3_tpu.codec.bitio import BitWriter
 from starch3_tpu.codec.crc32 import combine_block_crc
-from starch3_tpu.codec.encoder import STREAM_END_MAGIC, write_block_from_ranks
+from starch3_tpu.codec.encoder import (
+    STREAM_END_MAGIC,
+    write_block_from_device_syms,
+    write_block_from_ranks,
+)
 from starch3_tpu.codec.rle1 import rle1_split_blocks
 
 # padded device block size: fits any level-9 block (nblockMAX 899_981 + 4
@@ -99,6 +103,61 @@ def _jitted_fused_step(n_max: int):
     return jax.jit(step)
 
 
+@functools.lru_cache(maxsize=8)
+def _jitted_fused_step_rle2(n_max: int):
+    """BWT -> remap -> MTF -> RLE2, one dispatch per batch: the download
+    is the coded symbol stream + frequencies (ops/rle2_jax.py), leaving
+    only Huffman planning and bit emission on the host."""
+    import jax
+    import jax.numpy as jnp
+
+    from starch3_tpu.ops.bwt_jax import bwt_encode_padded
+    from starch3_tpu.ops.mtf_jax import mtf_ranks_padded
+    from starch3_tpu.ops.rle2_jax import rle2_from_ranks_padded
+
+    n_pairs = (n_max + 2 + 1) // 2
+
+    def one(block, n):
+        last, ptr = bwt_encode_padded(block, n, n_max)
+        idx = jnp.arange(n_max, dtype=jnp.int32)
+        valid = idx < n
+        used = jnp.zeros(256, jnp.int32).at[jnp.where(valid, last, 0)].max(
+            valid.astype(jnp.int32)
+        )
+        u2s = jnp.cumsum(used) - 1
+        seq = jnp.where(valid, u2s[last], 0).astype(jnp.int32)
+        ranks = mtf_ranks_padded(seq, n, n_max)
+        n_in_use = used.sum()
+        syms, m, freq = rle2_from_ranks_padded(ranks, n, n_in_use, n_max)
+        # symbols < 2^16: pack 2 per int32 word for the download
+        sp = jnp.concatenate([syms, jnp.zeros(n_pairs * 2 - syms.size, jnp.int32)])
+        sp = sp.reshape(n_pairs, 2)
+        packed = sp[:, 0] | (sp[:, 1] << 16)
+        return jnp.concatenate([ptr[None], m[None], used, freq, packed])
+
+    def step(blocks, lens):
+        return jax.vmap(one)(blocks, lens)
+
+    return jax.jit(step)
+
+
+def _unpack_results_rle2(out_d, b, n_max):
+    out = np.asarray(out_d)  # one transfer for the whole batch
+    res = []
+    for i in range(b):
+        row = out[i]
+        ptr = int(row[0])
+        m = int(row[1])
+        used = row[2:258].astype(bool)
+        freq = row[258:518]
+        packed = row[518:]
+        syms = np.empty(packed.size * 2, dtype=np.int32)
+        syms[0::2] = packed & 0xFFFF
+        syms[1::2] = (packed >> 16) & 0xFFFF
+        res.append((used, ptr, syms[:m], freq))
+    return res
+
+
 def device_encode_blocks(
     block_datas: list[bytes], n_max: int = N_MAX_BLOCK, mesh=None
 ) -> list[tuple[np.ndarray, int, np.ndarray]]:
@@ -163,7 +222,11 @@ def _bucket_for(size: int) -> int:
 
 
 def encode_streams(
-    texts: list[bytes], level: int = 9, mesh=None, batch_size: int = 8
+    texts: list[bytes],
+    level: int = 9,
+    mesh=None,
+    batch_size: int = 8,
+    device_rle2: bool = False,
 ) -> list[bytes]:
     """Compress many independent streams with one global device queue.
 
@@ -190,11 +253,17 @@ def encode_streams(
         for lo in range(0, len(items), batch_size):
             chunk = items[lo : lo + batch_size]
             datas = [per_stream_blocks[si][bi].data for si, bi in chunk]
-            pending.append((chunk, *_dispatch_chunk(datas, n_max, mesh)))
+            pending.append(
+                (chunk, *_dispatch_chunk(datas, n_max, mesh, device_rle2))
+            )
             if len(pending) > 1:
-                _drain_into(results, per_stream_blocks, pending.pop(0), n_max)
+                _drain_into(
+                    results, per_stream_blocks, pending.pop(0), n_max, device_rle2
+                )
         while pending:
-            _drain_into(results, per_stream_blocks, pending.pop(0), n_max)
+            _drain_into(
+                results, per_stream_blocks, pending.pop(0), n_max, device_rle2
+            )
 
     streams = []
     for si, blocks in enumerate(per_stream_blocks):
@@ -205,11 +274,16 @@ def encode_streams(
         offsets = []
         crcs = []
         for bi, blk in enumerate(blocks):
-            in_use, ptr, ranks = results[(si, bi)]
+            res = results[(si, bi)]
             offsets.append(bw.bit_length)
             crcs.append(blk.crc)
             combined = combine_block_crc(combined, blk.crc)
-            write_block_from_ranks(bw, blk.crc, ptr, ranks, in_use)
+            if len(res) == 4:  # device-RLE2: (used, ptr, symbols, freq)
+                in_use, ptr, syms, freq = res
+                write_block_from_device_syms(bw, blk.crc, ptr, syms, freq, in_use)
+            else:
+                in_use, ptr, ranks = res
+                write_block_from_ranks(bw, blk.crc, ptr, ranks, in_use)
         bw.write(STREAM_END_MAGIC, 48)
         bw.write(combined, 32)
         from starch3_tpu.codec.encoder import EncodedStream
@@ -225,9 +299,14 @@ def encode_streams(
     return streams
 
 
-def _drain_into(results, per_stream_blocks, item, n_max):
+def _drain_into(results, per_stream_blocks, item, n_max, device_rle2=False):
     chunk, out_d, lens, b = item
-    for (si, bi), res in zip(chunk, _unpack_results(out_d, lens, b, n_max)):
+    unpacked = (
+        _unpack_results_rle2(out_d, b, n_max)
+        if device_rle2
+        else _unpack_results(out_d, lens, b, n_max)
+    )
+    for (si, bi), res in zip(chunk, unpacked):
         results[(si, bi)] = res
 
 
@@ -235,10 +314,16 @@ def jax_bz2_compress(data: bytes, config=None, mesh=None, n_max: int | None = No
     """bzip2-compatible compression with the heavy stages on device."""
     level = config.block_size_100k if config is not None else 9
     batch_size = getattr(config, "blocks_per_batch", 8) if config else 8
-    return encode_streams([data], level=level, mesh=mesh, batch_size=batch_size)[0].data
+    return encode_streams(
+        [data],
+        level=level,
+        mesh=mesh,
+        batch_size=batch_size,
+        device_rle2=getattr(config, "device_rle2", False),
+    )[0].data
 
 
-def _dispatch_chunk(block_datas, n_max, mesh):
+def _dispatch_chunk(block_datas, n_max, mesh, device_rle2=False):
     """Upload + launch one batch asynchronously; returns device handles."""
     import jax
     import jax.numpy as jnp
@@ -260,7 +345,8 @@ def _dispatch_chunk(block_datas, n_max, mesh):
         lens_d = jax.device_put(jnp.asarray(lens), sharding)
     else:
         batch_d, lens_d = jnp.asarray(batch), jnp.asarray(lens)
-    return _jitted_fused_step(n_max)(batch_d, lens_d), lens, b
+    step = _jitted_fused_step_rle2(n_max) if device_rle2 else _jitted_fused_step(n_max)
+    return step(batch_d, lens_d), lens, b
 
 
 def _drain_one(bw, item, combined, n_max):

@@ -79,3 +79,27 @@ class TestManifestResume:
         assert m2.has("chr1", digest)
         # changed input invalidates the entry
         assert not m2.has("chr1", input_digest(b"different text"))
+
+
+class TestDeviceRle2Pipeline:
+    def test_full_device_pipeline_byte_identical(self, rng):
+        """use_jax + device_rle2: BWT/MTF/RLE2 all on device, archive
+        bytes identical to the host path (multi-chrom, multi-block)."""
+        from starch3_tpu.api import compress_bed_bytes, decompress_starch_bytes
+        from starch3_tpu.config import EncodeConfig
+
+        parts = []
+        for c in (1, 2):
+            starts = np.cumsum(rng.integers(1, 400, 2500))
+            parts.append(
+                b"".join(
+                    b"chr%d\t%d\t%d\n" % (c, s, s + int(l))
+                    for s, l in zip(
+                        starts.tolist(), rng.integers(1, 200, 2500).tolist()
+                    )
+                )
+            )
+        bed = b"".join(parts)
+        a = compress_bed_bytes(bed, EncodeConfig(use_jax=True, device_rle2=True))
+        assert a == compress_bed_bytes(bed, EncodeConfig(use_jax=False))
+        assert decompress_starch_bytes(a) == bed
