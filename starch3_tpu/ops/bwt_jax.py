@@ -28,28 +28,57 @@ import numpy as np
 _BIG = np.int32(0x7FFFFFF0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_max",))
-def bwt_encode_padded(block: jax.Array, n: jax.Array, n_max: int):
+@functools.partial(jax.jit, static_argnames=("n_max", "init_bytes"))
+def bwt_encode_padded(
+    block: jax.Array, n: jax.Array, n_max: int, init_bytes: int = 1
+):
     """Rotation-sort a padded block.
 
     Args:
       block: uint8[n_max] (contents beyond ``n`` ignored)
       n: int32 scalar, actual length (1 <= n <= n_max)
       n_max: static padded size
+      init_bytes: 1 or 3 — bytes packed into the round-0 key.  3 folds
+        ~1.6 doubling rounds into the initial rerank (the key stays a
+        positive int32), at ~3x one-time AOT compile cost on tunneled
+        backends — a win wherever compiles amortize (docs/DESIGN.md).
     Returns:
       last: uint8[n_max] BWT last column (valid prefix of length n)
       orig_ptr: int32 scalar, sorted position of rotation 0
     """
+    if init_bytes not in (1, 3):
+        raise ValueError("init_bytes must be 1 or 3")
     idx = jnp.arange(n_max, dtype=jnp.int32)
     valid = idx < n
 
-    # initial ranks: raw byte values (order-preserving; densified by the
-    # first round's rerank).  NOTE: packing several bytes into the initial
-    # key saves ~2 doubling rounds but was measured to *triple* the AOT
-    # compile time on this backend — compile dominates fresh-process cost,
-    # so single-byte init wins overall.
-    rank = jnp.where(valid, block.astype(jnp.int32), _BIG + 1)
-    done0 = jnp.asarray(False)
+    if init_bytes == 3:
+        # cyclic 3-byte big-endian key: block[i]<<16|block[i+1]<<8|block[i+2]
+        # (mod-n shifts via conditional subtract; see round_body)
+        j1 = jnp.where(idx + 1 >= n, idx + 1 - n, idx + 1)
+        j2 = jnp.where(idx + 2 >= n, idx + 2 - n, idx + 2)
+        j2 = jnp.where(j2 >= n, j2 - n, j2)
+        b32 = block.astype(jnp.int32)
+        key = (
+            (b32 << 16)
+            | (b32[jnp.where(valid, j1, 0)] << 8)
+            | b32[jnp.where(valid, j2, 0)]
+        )
+        raw = jnp.where(valid, key, _BIG + 1)
+        # densify so ranks stay small ints, then the loop starts at k=3
+        rs, order = jax.lax.sort((raw, idx), num_keys=1, is_stable=True)
+        changed = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), (rs[1:] != rs[:-1]).astype(jnp.int32)]
+        )
+        dense = jnp.cumsum(changed)
+        rank = jnp.zeros(n_max, jnp.int32).at[order].set(dense)
+        rank = jnp.where(valid, rank, _BIG + 1)
+        k0 = jnp.int32(3)
+        done0 = jnp.max(jnp.where(valid, rank, -1)) == n - 1
+    else:
+        # raw byte values (order-preserving; densified by round 1)
+        rank = jnp.where(valid, block.astype(jnp.int32), _BIG + 1)
+        k0 = jnp.int32(1)
+        done0 = jnp.asarray(False)
 
     def round_body(state):
         rank, k, _done = state
@@ -79,9 +108,7 @@ def bwt_encode_padded(block: jax.Array, n: jax.Array, n_max: int):
         _rank, k, done = state
         return jnp.logical_and(jnp.logical_not(done), k < 2 * n)
 
-    rank, _, _ = jax.lax.while_loop(
-        cond, round_body, (rank, jnp.int32(1), done0)
-    )
+    rank, _, _ = jax.lax.while_loop(cond, round_body, (rank, k0, done0))
     # final order: rank ascending, ties (equal rotations) by index
     # descending — the libbz2-observed order (codec/bwt.py)
     _, _, sa = jax.lax.sort((rank, -idx, idx), num_keys=2, is_stable=False)

@@ -198,3 +198,24 @@ class TestDeviceRle2:
             )
             assert np.array_equal(np.asarray(syms)[: int(m)], ref.symbols)
             assert np.array_equal(np.asarray(freq)[: ref.alpha_size], ref.freq)
+
+
+class TestBwtInitBytes:
+    def test_three_byte_init_matches(self, rng):
+        import jax.numpy as jnp
+
+        from starch3_tpu.codec.bwt import bwt_encode
+        from starch3_tpu.ops.bwt_jax import bwt_encode_padded
+
+        n_max = 1024
+        for trial in range(10):
+            n = int(rng.integers(1, n_max))
+            if trial % 3 == 0:
+                d = np.full(n, 65, np.uint8)
+            else:
+                d = rng.integers(0, 8, n, dtype=np.uint8)
+            pad = np.zeros(n_max, np.uint8)
+            pad[:n] = d
+            l_ref, p_ref = bwt_encode(d)
+            l3, p3 = bwt_encode_padded(jnp.asarray(pad), np.int32(n), n_max, 3)
+            assert np.array_equal(np.asarray(l3)[:n], l_ref) and int(p3) == p_ref
