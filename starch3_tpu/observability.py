@@ -57,15 +57,23 @@ def _named_scope(name: str):
     # the guarded part is acquiring the scope, never the caller's body —
     # wrapping the yield in try/except would swallow exceptions thrown
     # into the generator and yield twice
+    import sys
+
     try:
         import jax
 
         scope = jax.named_scope(name)
+        scope.__enter__()  # guard enter, never the body
     except Exception:
         yield
         return
-    with scope:
+    try:
         yield
+    except BaseException:
+        if not scope.__exit__(*sys.exc_info()):
+            raise
+    else:
+        scope.__exit__(None, None, None)
 
 
 @contextlib.contextmanager

@@ -14,8 +14,8 @@ padded arrays:
 
   - nonzero compaction: target index = cumsum(nonzero) - 1, one scatter;
   - run lengths: gaps between consecutive nonzero positions;
-  - digit counts: floor(log2(z+1)) — exact in float32 for z < 2^24,
-    far above the 900 kB block bound;
+  - digit counts: exact integer bit lengths via a static shift loop
+    (float32 log2 is inexact at powers of two on TPU);
   - output offsets: exclusive cumsum of (digits + 1) chunk lengths;
   - digit placement: a static 21-step loop (2^21 > max block size), each
     step scattering digit k of every still-active run;
@@ -56,7 +56,7 @@ def rle2_from_ranks_padded(
     nz = valid & (ranks != 0)
     # compact nonzero positions: pos_nz[t] = index of t-th nonzero
     tgt = jnp.cumsum(nz.astype(jnp.int32)) - 1
-    n_nz = jnp.where(nz.any(), tgt[-1] + 1, 0)
+    n_nz = tgt[-1] + 1  # cumsum-1 is -1 when there are no nonzeros
     pos_nz = jnp.full(n_max + 1, -1, dtype=jnp.int32)
     pos_nz = pos_nz.at[jnp.where(nz, tgt, n_max)].set(
         jnp.where(nz, idx, -1), mode="drop"
@@ -79,10 +79,14 @@ def rle2_from_ranks_padded(
     )
     live = t_idx <= n_nz  # chunks: one per nonzero + the EOB chunk
 
-    # digit counts d(z) = bit_length(z+1) - 1 (exact: z+1 < 2^24)
-    dig = jnp.where(
-        runs > 0, jnp.floor(jnp.log2((runs + 1).astype(jnp.float32))), 0
-    ).astype(jnp.int32)
+    # digit counts d(z) = bit_length(z+1) - 1, computed with exact
+    # integer shifts: TPU float32 log2 is inexact at powers of two
+    # (log2(32768.f) = 14.999999 -> off-by-one digit, corrupt stream);
+    # the host oracle (codec/mtf.py) carries the same warning
+    mvals = runs + 1
+    dig = jnp.zeros_like(runs)
+    for k in range(_MAX_DIGITS):
+        dig = dig + ((mvals >> k) >= 2).astype(jnp.int32)
     chunk_lens = jnp.where(live, dig + 1, 0)  # digits + (symbol | EOB)
     ends = jnp.cumsum(chunk_lens)
     offsets = ends - chunk_lens
@@ -91,7 +95,6 @@ def rle2_from_ranks_padded(
     eob = n_in_use + 1
     syms = jnp.full(n_max + 2, eob, dtype=jnp.int32)
     # digits: static loop over digit index k, scatter active runs' bit k
-    mvals = runs + 1
     for k in range(_MAX_DIGITS):
         active = live & ((mvals >> k) >= 2)
         syms = syms.at[jnp.where(active, offsets + k, n_max + 2)].set(

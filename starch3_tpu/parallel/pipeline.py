@@ -61,6 +61,26 @@ def _jitted_mtf_step(n_max: int):
     return jax.jit(step)
 
 
+def _block_to_ranks(block, n, n_max):
+    """Shared device prologue: BWT -> used-byte map -> dense remap -> MTF
+    ranks (both fused steps call this)."""
+    import jax.numpy as jnp
+
+    from starch3_tpu.ops.bwt_jax import bwt_encode_padded
+    from starch3_tpu.ops.mtf_jax import mtf_ranks_padded
+
+    last, ptr = bwt_encode_padded(block, n, n_max)
+    idx = jnp.arange(n_max, dtype=jnp.int32)
+    valid = idx < n
+    used = jnp.zeros(256, jnp.int32).at[jnp.where(valid, last, 0)].max(
+        valid.astype(jnp.int32)
+    )
+    u2s = jnp.cumsum(used) - 1  # dense remap (codec/mtf.py symbol_map)
+    seq = jnp.where(valid, u2s[last], 0).astype(jnp.int32)
+    ranks = mtf_ranks_padded(seq, n, n_max)
+    return ptr, used, ranks
+
+
 @functools.lru_cache(maxsize=8)
 def _jitted_fused_step(n_max: int):
     """BWT -> on-device dense symbol remap -> MTF, one dispatch per batch.
@@ -72,19 +92,8 @@ def _jitted_fused_step(n_max: int):
     import jax
     import jax.numpy as jnp
 
-    from starch3_tpu.ops.bwt_jax import bwt_encode_padded
-    from starch3_tpu.ops.mtf_jax import mtf_ranks_padded
-
     def one(block, n):
-        last, ptr = bwt_encode_padded(block, n, n_max)
-        idx = jnp.arange(n_max, dtype=jnp.int32)
-        valid = idx < n
-        used = jnp.zeros(256, jnp.int32).at[jnp.where(valid, last, 0)].max(
-            valid.astype(jnp.int32)
-        )
-        u2s = jnp.cumsum(used) - 1  # dense remap (codec/mtf.py symbol_map)
-        seq = jnp.where(valid, u2s[last], 0).astype(jnp.int32)
-        ranks = mtf_ranks_padded(seq, n, n_max)
+        ptr, used, ranks = _block_to_ranks(block, n, n_max)
         # MTF ranks are < 256: pack 4 per int32 so the host download is
         # 1 byte/rank (sub-int32 dtypes fetch pathologically slowly over
         # remote tunnels, and the BWT column itself never leaves HBM)
@@ -111,22 +120,12 @@ def _jitted_fused_step_rle2(n_max: int):
     import jax
     import jax.numpy as jnp
 
-    from starch3_tpu.ops.bwt_jax import bwt_encode_padded
-    from starch3_tpu.ops.mtf_jax import mtf_ranks_padded
     from starch3_tpu.ops.rle2_jax import rle2_from_ranks_padded
 
     n_pairs = (n_max + 2 + 1) // 2
 
     def one(block, n):
-        last, ptr = bwt_encode_padded(block, n, n_max)
-        idx = jnp.arange(n_max, dtype=jnp.int32)
-        valid = idx < n
-        used = jnp.zeros(256, jnp.int32).at[jnp.where(valid, last, 0)].max(
-            valid.astype(jnp.int32)
-        )
-        u2s = jnp.cumsum(used) - 1
-        seq = jnp.where(valid, u2s[last], 0).astype(jnp.int32)
-        ranks = mtf_ranks_padded(seq, n, n_max)
+        ptr, used, ranks = _block_to_ranks(block, n, n_max)
         n_in_use = used.sum()
         syms, m, freq = rle2_from_ranks_padded(ranks, n, n_in_use, n_max)
         # symbols < 2^16: pack 2 per int32 word for the download
@@ -141,7 +140,7 @@ def _jitted_fused_step_rle2(n_max: int):
     return jax.jit(step)
 
 
-def _unpack_results_rle2(out_d, b, n_max):
+def _unpack_results_rle2(out_d, b):
     out = np.asarray(out_d)  # one transfer for the whole batch
     res = []
     for i in range(b):
@@ -227,7 +226,7 @@ def encode_streams(
     mesh=None,
     batch_size: int = 8,
     device_rle2: bool = False,
-) -> list[bytes]:
+) -> list:  # list[codec.encoder.EncodedStream]
     """Compress many independent streams with one global device queue.
 
     All streams' blocks are flattened into shared batches (one geometry
@@ -302,7 +301,7 @@ def encode_streams(
 def _drain_into(results, per_stream_blocks, item, n_max, device_rle2=False):
     chunk, out_d, lens, b = item
     unpacked = (
-        _unpack_results_rle2(out_d, b, n_max)
+        _unpack_results_rle2(out_d, b)
         if device_rle2
         else _unpack_results(out_d, lens, b, n_max)
     )

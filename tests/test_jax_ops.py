@@ -219,3 +219,28 @@ class TestBwtInitBytes:
             l_ref, p_ref = bwt_encode(d)
             l3, p3 = bwt_encode_padded(jnp.asarray(pad), np.int32(n), n_max, 3)
             assert np.array_equal(np.asarray(l3)[:n], l_ref) and int(p3) == p_ref
+
+
+def test_device_rle2_power_of_two_runs():
+    """Zero-runs whose z+1 is a power of two trip float log2 (TPU
+    float32 log2(32768)=14.999999); the kernel must use exact integer
+    bit lengths."""
+    import jax.numpy as jnp
+
+    from starch3_tpu.codec.mtf import mtf_rle2_from_ranks
+    from starch3_tpu.ops.rle2_jax import rle2_from_ranks_padded
+
+    n_max = 1 << 17
+    in_use = np.zeros(256, bool)
+    in_use[:10] = True
+    for z in (1, 3, 32766, 32767, 32768, 65535):
+        ranks = np.zeros(z + 1, np.int32)
+        ranks[z] = 5
+        ref = mtf_rle2_from_ranks(ranks.astype(np.uint8), in_use)
+        pad = np.zeros(n_max, np.int32)
+        pad[: z + 1] = ranks
+        syms, m, freq = rle2_from_ranks_padded(
+            jnp.asarray(pad), np.int32(z + 1), np.int32(10), n_max
+        )
+        assert np.array_equal(np.asarray(syms)[: int(m)], ref.symbols)
+        assert np.array_equal(np.asarray(freq)[: ref.alpha_size], ref.freq)
