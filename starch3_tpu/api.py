@@ -86,14 +86,89 @@ def _decompress_stream(data: bytes, compression_format: str) -> bytes:
     raise UnsupportedCodecError(f"unknown codec {compression_format!r}")
 
 
+def _parse_transform_chunked(data: bytes, workers: int):
+    """Chunk-parallel native parse+transform.
+
+    Chromosome transforms are self-contained, so chunks split at line
+    boundaries parse independently; only a chromosome whose lines span a
+    chunk boundary (same leading name on both sides) is re-transformed
+    from its merged raw span.  Returns the same 6-tuple list as
+    bed_transform_native, or None to fall back.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from starch3_tpu.runtime import bed_transform_native
+
+    # line-aligned chunk bounds
+    bounds = [0]
+    for w in range(1, workers):
+        cut = data.find(b"\n", len(data) * w // workers)
+        if cut < 0:
+            break
+        if cut + 1 > bounds[-1]:
+            bounds.append(cut + 1)
+    bounds.append(len(data))
+    chunks = [
+        (bounds[i], data[bounds[i] : bounds[i + 1]])
+        for i in range(len(bounds) - 1)
+        if bounds[i + 1] > bounds[i]
+    ]
+    if len(chunks) < 2:
+        return bed_transform_native(data)
+    with ThreadPoolExecutor(len(chunks)) as ex:
+        parsed = list(ex.map(lambda c: bed_transform_native(c[1]), chunks))
+    if any(p is None for p in parsed):
+        return None
+    # flatten to (name, tuple, abs_start, abs_end, first_in_chunk)
+    pieces = []
+    for (base, chunk), groups in zip(chunks, parsed):
+        for k, g in enumerate(groups):
+            start = base + g[5]
+            end = base + (groups[k + 1][5] if k + 1 < len(groups) else len(chunk))
+            pieces.append((g[0], g, start, end, k == 0))
+    # merge maximal runs of boundary-adjacent same-name pieces
+    out = []
+    i = 0
+    while i < len(pieces):
+        j = i
+        while (
+            j + 1 < len(pieces)
+            and pieces[j + 1][4]  # first group of its chunk
+            and pieces[j + 1][0] == pieces[i][0]
+            # contiguous up to dropped empty lines
+            and data[pieces[j][3] : pieces[j + 1][2]].strip(b"\n") == b""
+        ):
+            j += 1
+        if j == i:
+            out.append(pieces[i][1])
+        else:
+            merged = bed_transform_native(data[pieces[i][2] : pieces[j][3]])
+            if merged is None or len(merged) != 1:
+                return None
+            out.append(merged[0])
+        i = j + 1
+    return out
+
+
 def _parse_transform(data: bytes):
     """Parse + transform, preferring the fused native single pass
     (runtime.cpp s3_bed_transform); the NumPy path is the behavioral
     reference, the fallback, and the source of exact parse diagnostics."""
+    import os
+
     from starch3_tpu.runtime import bed_transform_native
     from starch3_tpu.transform.delta import TransformedChrom
 
-    native = bed_transform_native(data)
+    workers = os.cpu_count() or 1
+    # chunked parse pays off when parse time dominates thread overhead:
+    # measured on a 2-core host it is noise-negative for ~25 MB inputs,
+    # so it engages only at real corpus scale on multi-core machines
+    if len(data) > (64 << 20) and workers >= 4:
+        native = _parse_transform_chunked(data, min(workers, 8))
+        if native is None:
+            native = bed_transform_native(data)
+    else:
+        native = bed_transform_native(data)
     if native is not None:
         chroms = [t[0] for t in native]
         if len(set(chroms)) == len(chroms):

@@ -250,3 +250,21 @@ class TestNativeBlockDecode:
         enc = bz2_compress_ex(b"hello world " * 100, 9)
         with pytest.raises(ValueError):
             runtime.bz2_decode_block_native(enc.data, 7, 9)
+
+
+class TestChunkedParseTransform:
+    def test_equivalent_to_serial(self, rng):
+        from starch3_tpu.api import _parse_transform_chunked
+
+        parts = []
+        for c in range(4):
+            starts = np.cumsum(rng.integers(1, 400, 1500))
+            lines = [b"chr%d\t%d\t%d" % (c, s, s + 9) for s in starts.tolist()]
+            if c % 2:
+                lines.insert(700, b"")  # empty line inside a chromosome
+            parts.append(b"\n".join(lines))
+        bed = b"\n".join(parts) + b"\n"
+        ref = runtime.bed_transform_native(bed)
+        for w in (2, 4, 7):
+            got = _parse_transform_chunked(bed, w)
+            assert [g[:5] for g in got] == [g[:5] for g in ref]
