@@ -244,3 +244,30 @@ def test_device_rle2_power_of_two_runs():
         )
         assert np.array_equal(np.asarray(syms)[: int(m)], ref.symbols)
         assert np.array_equal(np.asarray(freq)[: ref.alpha_size], ref.freq)
+
+
+class TestDeviceInverseBwt:
+    """ops/ibwt_jax.py: pointer-jumping inverse BWT, incl the multi-cycle
+    LF permutations of exactly periodic blocks."""
+
+    def test_roundtrip_vs_encoder(self, rng):
+        import jax.numpy as jnp
+
+        from starch3_tpu.codec.bwt import bwt_encode
+        from starch3_tpu.ops.ibwt_jax import ibwt_padded
+
+        n_max = 1024
+        for trial in range(12):
+            n = int(rng.integers(1, n_max))
+            if trial % 3 == 0:
+                d = np.full(n, 65, np.uint8)  # all-same: n 1-cycles
+            elif trial % 3 == 1:
+                pat = rng.integers(0, 256, int(rng.integers(1, 5)), dtype=np.uint8)
+                d = np.tile(pat, n // len(pat) + 1)[:n]  # periodic
+            else:
+                d = rng.integers(0, 256, n, dtype=np.uint8)
+            last, ptr = bwt_encode(d)
+            pad = np.zeros(n_max, np.uint8)
+            pad[:n] = last
+            out = ibwt_padded(jnp.asarray(pad), np.int32(ptr), np.int32(n), n_max)
+            assert np.array_equal(np.asarray(out)[:n], d)
