@@ -193,7 +193,11 @@ def compress_bed_bytes(data: bytes, config: EncodeConfig | None = None) -> bytes
 
     timer = StageTimer()
     config = config or EncodeConfig()
-    writer = StarchWriter(note=config.note, compression=config.method.value)
+    writer = StarchWriter(
+        note=config.note,
+        compression=config.method.value,
+        final_newline=(not data) or data.endswith(b"\n"),
+    )
     with timer.stage("parse+transform", len(data)):
         transformed = _parse_transform(data)
     total_text = sum(len(tf.text) for tf in transformed)
@@ -440,6 +444,7 @@ def compress_bed_file(
                     emit(g[0], g[1], g[2], g[3], g[4])
                 carry_name = names[-1]
                 carry_parts = [buf[spans[-1][0] :]]
+        writer.final_newline = not partial
         if partial:
             carry_parts.append(partial)  # final line without newline
         if carry_parts:
@@ -511,7 +516,10 @@ def decompress_starch_bytes(data: bytes, workers: int | None = None) -> bytes:
             parts = [f.result() for f in finish_futs]
     else:
         parts = [_decode_stream_to_bed(meta, stream, fmt) for meta, stream in items]
-    return b"".join(parts)
+    out = b"".join(parts)
+    if not reader.metadata.final_newline and out.endswith(b"\n"):
+        out = out[:-1]  # the input's last line had no newline
+    return out
 
 
 def decompress_starch_file(in_path: str, out_fh, workers: int | None = None) -> None:
@@ -536,14 +544,25 @@ def decompress_starch_file(in_path: str, out_fh, workers: int | None = None) -> 
         out_fh.write(decompress_starch_bytes(data, workers=workers))
         return
     del data
+    strip_last = not reader.metadata.final_newline
+    n_streams = len(reader.metadata.streams)
     with ThreadPoolExecutor(workers) as ex:
         pending = deque()
+        done = 0
+
+        def write_one(text: bytes) -> None:
+            nonlocal done
+            done += 1
+            if strip_last and done == n_streams and text.endswith(b"\n"):
+                text = text[:-1]
+            out_fh.write(text)
+
         for meta, stream in reader.iter_streams():
             pending.append(ex.submit(_decode_stream_to_bed, meta, stream, fmt))
             while len(pending) > 2 * workers:
-                out_fh.write(pending.popleft().result())
+                write_one(pending.popleft().result())
         while pending:
-            out_fh.write(pending.popleft().result())
+            write_one(pending.popleft().result())
 
 
 def extract_chromosome(data: bytes, chrom: str) -> bytes:

@@ -54,6 +54,7 @@ class StarchWriter:
 
     note: str = ""
     compression: str = "bzip2"
+    final_newline: bool = True  # see metadata.ArchiveMetadata
 
     def __post_init__(self) -> None:
         self._chunks: list[bytes] = [ARCHIVE_MAGIC]
@@ -94,7 +95,10 @@ class StarchWriter:
 
     def finish(self) -> bytes:
         meta = ArchiveMetadata(
-            note=self.note, compression_format=self.compression, streams=self._streams
+            note=self.note,
+            compression_format=self.compression,
+            streams=self._streams,
+            final_newline=self.final_newline,
         )
         meta_bytes = meta.to_json_bytes()
         footer = build_footer(self._offset, meta_bytes)
@@ -109,6 +113,7 @@ class StarchFileWriter(StarchWriter):
 
     def __init__(self, fh, note: str = "", compression: str = "bzip2") -> None:
         super().__init__(note=note, compression=compression)
+        # final_newline may be assigned any time before finish()
         self._fh = fh
         fh.write(ARCHIVE_MAGIC)
         self._chunks.clear()  # magic already on disk; nothing buffers

@@ -46,6 +46,11 @@ class ArchiveMetadata:
     streams: list[StreamMetadata] = field(default_factory=list)
     creation_timestamp: str | None = None  # optional: omitted by default so
     # identical inputs yield identical archives
+    # transformed records are canonically newline-terminated; when the
+    # original input's final line lacked its newline this records it so
+    # decode strips the synthesized one (byte-exact round trip).  Omitted
+    # from the JSON when True (the overwhelmingly common case)
+    final_newline: bool = True
 
     def to_json_bytes(self) -> bytes:
         doc = {
@@ -61,6 +66,8 @@ class ArchiveMetadata:
         }
         if self.creation_timestamp is not None:
             doc["creationTimestamp"] = self.creation_timestamp
+        if not self.final_newline:
+            doc["finalNewline"] = False
         return json.dumps(doc, sort_keys=True, separators=(",", ":")).encode()
 
     @classmethod
@@ -77,4 +84,5 @@ class ArchiveMetadata:
             compression_format=doc.get("compressionFormat", "bzip2"),
             streams=streams,
             creation_timestamp=doc.get("creationTimestamp"),
+            final_newline=doc.get("finalNewline", True),
         )

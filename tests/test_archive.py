@@ -140,3 +140,48 @@ class TestStreamingFileEncode:
         p.write_bytes(b"chr1\t1\t2\nchr2\t1\t2\nchr1\t5\t9\n")
         with pytest.raises(BedParseError):
             compress_bed_file(str(p), io.BytesIO(), chunk_bytes=8)
+
+
+def test_no_trailing_newline_roundtrip():
+    """Inputs whose final line lacks a newline must round-trip
+    byte-exactly (metadata finalNewline flag); newline-terminated
+    archives are byte-unchanged by the flag (omitted when True)."""
+    import io
+
+    from starch3_tpu.api import (
+        compress_bed_bytes,
+        compress_bed_file,
+        decompress_starch_bytes,
+        decompress_starch_file,
+    )
+
+    bed_nl = b"chr1\t1\t5\nchr2\t9\t12\n"
+    bed_no = bed_nl[:-1]
+    a_nl = compress_bed_bytes(bed_nl)
+    a_no = compress_bed_bytes(bed_no)
+    assert decompress_starch_bytes(a_nl) == bed_nl
+    assert decompress_starch_bytes(a_no) == bed_no
+    assert decompress_starch_bytes(a_no, workers=1) == bed_no
+    assert b'"finalNewline":false' in a_no and b"finalNewline" not in a_nl
+
+
+def test_no_trailing_newline_streaming(tmp_path):
+    import io
+
+    from starch3_tpu.api import (
+        compress_bed_bytes,
+        compress_bed_file,
+        decompress_starch_file,
+    )
+
+    bed = b"chr1\t1\t5\nchr2\t9\t12"
+    p = tmp_path / "in.bed"
+    p.write_bytes(bed)
+    fh = io.BytesIO()
+    compress_bed_file(str(p), fh, chunk_bytes=7)
+    assert fh.getvalue() == compress_bed_bytes(bed)
+    ap = tmp_path / "a.starch"
+    ap.write_bytes(fh.getvalue())
+    out = io.BytesIO()
+    decompress_starch_file(str(ap), out)
+    assert out.getvalue() == bed
