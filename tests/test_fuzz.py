@@ -117,3 +117,49 @@ def test_corrupt_archive_never_crashes(rng):
             assert out == bed  # corruption landed in dead slack only
         except StarchError:
             pass
+
+
+def test_all_paths_soak(rng, tmp_path):
+    """Cross-path byte-identity soak: bytes API == streaming file API ==
+    device path; decode via bytes/parallel/serial/file; random levels,
+    remainders, unsorted starts, missing final newline."""
+    import io
+
+    from starch3_tpu.api import (
+        compress_bed_bytes,
+        compress_bed_file,
+        decompress_starch_bytes,
+        decompress_starch_file,
+    )
+    from starch3_tpu.config import EncodeConfig
+
+    for trial in range(6):
+        parts = []
+        for c in range(int(rng.integers(1, 5))):
+            n = int(rng.integers(1, 1500))
+            starts = np.cumsum(rng.integers(0, 600, n))
+            if rng.random() < 0.3:
+                rng.shuffle(starts)
+            lines = []
+            for s in starts.tolist():
+                e = s + int(rng.integers(0, 400))
+                if rng.random() < 0.4:
+                    lines.append(b"c%d\t%d\t%d\tx%d" % (c, s, e, s % 17))
+                else:
+                    lines.append(b"c%d\t%d\t%d" % (c, s, e))
+            parts.append(b"\n".join(lines))
+        bed = b"\n".join(parts) + (b"\n" if trial % 2 else b"")
+        cfg = EncodeConfig(block_size_100k=int(rng.integers(1, 10)))
+        a = compress_bed_bytes(bed, cfg)
+        assert decompress_starch_bytes(a) == bed
+        assert decompress_starch_bytes(a, workers=1) == bed
+        p = tmp_path / f"in{trial}.bed"
+        p.write_bytes(bed)
+        fh = io.BytesIO()
+        compress_bed_file(str(p), fh, cfg, chunk_bytes=int(rng.integers(64, 1 << 14)))
+        assert fh.getvalue() == a
+        ap = tmp_path / f"a{trial}.starch"
+        ap.write_bytes(a)
+        out = io.BytesIO()
+        decompress_starch_file(str(ap), out)
+        assert out.getvalue() == bed
