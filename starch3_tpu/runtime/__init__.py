@@ -3,6 +3,15 @@
 Builds lazily with g++ on first use (cached as _runtime.so next to the
 source); every entry point has a NumPy fallback so the package works
 without a toolchain.  See runtime.cpp for what lives here and why.
+
+Sanitizer run (the native tier is exercised by tests/test_runtime.py,
+test_bitexact.py, test_fuzz.py and more; all clean under ASan+UBSan):
+
+    g++ -O1 -g -fsanitize=address,undefined -fno-sanitize-recover=undefined \
+        -shared -fPIC -std=c++17 -o starch3_tpu/runtime/_runtime.so \
+        starch3_tpu/runtime/runtime.cpp
+    LD_PRELOAD=$(g++ -print-file-name=libasan.so) ASAN_OPTIONS=detect_leaks=0 \
+        python -m pytest tests/ -q
 """
 
 from __future__ import annotations
