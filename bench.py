@@ -111,9 +111,12 @@ def main() -> int:
     host_mbps = len(bed) / host_dt / 1e6
 
     # correctness gates: byte-exact round-trip + streams match libbz2
-    t0 = time.perf_counter()
-    decoded = decompress_starch_bytes(archive)
-    decode_mbps = len(bed) / (time.perf_counter() - t0) / 1e6
+    decode_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        decoded = decompress_starch_bytes(archive)
+        decode_dt = min(decode_dt, time.perf_counter() - t0)
+    decode_mbps = len(bed) / decode_dt / 1e6
     assert decoded == bed, "round-trip failed"
     from starch3_tpu.format.archive import StarchReader
 
