@@ -1020,7 +1020,10 @@ static int64_t dec_block(BitReader& br, int64_t max_block, uint8_t* out,
             nblock += run;
         }
         if ((int64_t)orig_ptr >= nblock) return -1;
-        // inverse BWT: LF mapping then backwards walk
+        // inverse BWT: LF mapping then backwards walk.  The walk is one
+        // dependent random access per step; packing (lf << 8) | symbol
+        // into a single word halves the cache lines touched vs separate
+        // symbol/lf arrays (nblock < 2^20 so lf fits 24 bits).
         int64_t cnt_b[256] = {0};
         for (int64_t i2 = 0; i2 < nblock; i2++) cnt_b[tt[i2]]++;
         int64_t starts[256];
@@ -1031,7 +1034,8 @@ static int64_t dec_block(BitReader& br, int64_t max_block, uint8_t* out,
         }
         int64_t occ[256] = {0};
         for (int64_t i2 = 0; i2 < nblock; i2++) {
-            lf[i2] = (int32_t)(starts[tt[i2]] + occ[tt[i2]]++);
+            uint32_t dest = (uint32_t)(starts[tt[i2]] + occ[tt[i2]]++);
+            lf[i2] = (int32_t)((dest << 8) | tt[i2]);
         }
         // walk LF from orig_ptr: emits original bytes back-to-front;
         // then RLE1-decode forward.  Decode into a temp (reuse lf? no —
@@ -1044,10 +1048,10 @@ static int64_t dec_block(BitReader& br, int64_t max_block, uint8_t* out,
             pre_cap = max_block;
         }
         {
-            int64_t row = orig_ptr;
+            uint32_t w = (uint32_t)lf[orig_ptr];
             for (int64_t i2 = nblock - 1; i2 >= 0; i2--) {
-                pre[i2] = tt[row];
-                row = lf[row];
+                pre[i2] = (uint8_t)w;
+                w = (uint32_t)lf[w >> 8];
             }
         }
         // RLE1 decode + CRC
