@@ -829,17 +829,29 @@ struct BitReader {
     int64_t pos = 0;  // absolute bit position
     bool ok = true;
 
-    inline uint32_t read(int nbits) {
+    // look at the next nbits (<= 24) without consuming; bits past the
+    // end read as zero (consumers detect truncation via pos bounds)
+    inline uint32_t peek(int nbits) const {
+        int64_t byte = pos >> 3;
+        int off = (int)(pos & 7);
         uint32_t v = 0;
+        for (int k = 0; k < 4; k++)
+            v = (v << 8) | (byte + k < nbytes ? data[byte + k] : 0);
+        return (v >> (32 - off - nbits)) & ((1u << nbits) - 1);
+    }
+
+    inline uint32_t read(int nbits) {
         if ((pos + nbits) > nbytes * 8) {
             ok = false;
             return 0;
         }
-        for (int i = 0; i < nbits; i++) {
-            v = (v << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1);
-            pos++;
+        if (nbits <= 24) {
+            uint32_t v = peek(nbits);
+            pos += nbits;
+            return v;
         }
-        return v;
+        uint32_t hi = read(16);
+        return (hi << (nbits - 16)) | read(nbits - 16);
     }
     inline int bit() {
         if (pos >= nbytes * 8) {
@@ -955,6 +967,10 @@ static int64_t dec_block(BitReader& br, int64_t max_block, uint8_t* out,
                 if (len[t][s] > mx) mx = len[t][s];
             }
             min_len_t[t] = mn;
+            // corrupt streams may encode incomplete prefix codes whose
+            // walk exits past mx; keep base defined there and bounds-
+            // check the perm index at use sites
+            for (int l = 0; l < 25; l++) base[t][l] = 0;
             int pp = 0;
             for (int l = mn; l <= mx; l++)
                 for (int s = 0; s < alpha; s++)
@@ -971,6 +987,29 @@ static int64_t dec_block(BitReader& br, int64_t max_block, uint8_t* out,
             }
             for (int l = mx + 1; l < 25; l++) limit[t][l] = 0x7FFFFFFF;
         }
+        // fast Huffman decode LUT: a 10-bit window resolves most codes
+        // in one lookup (entry = (sym << 5) | len; 0xFFFF = longer code,
+        // take the canonical limit/base walk)
+        constexpr int kLut = 10;
+        static thread_local uint16_t lut[6][1 << kLut];
+        for (int t = 0; t < n_groups; t++) {
+            for (int w = 0; w < (1 << kLut); w++) {
+                int l = min_len_t[t];
+                uint16_t e = 0xFFFF;
+                while (l <= kLut) {
+                    int32_t v = w >> (kLut - l);
+                    if (v <= limit[t][l]) {
+                        int32_t pi = v - base[t][l];
+                        if (pi >= 0 && pi < alpha)
+                            e = (uint16_t)((perm[t][pi] << 5) | l);
+                        break;  // out-of-range: leave 0xFFFF -> slow path
+                    }
+                    l++;
+                }
+                lut[t][w] = e;
+            }
+        }
+        const int64_t total_bits = br.nbytes * 8;
         // symbol loop: inverse RLE2 + MTF straight into tt[]
         int eob = alpha - 1;
         uint8_t mtf[256];
@@ -986,14 +1025,24 @@ static int64_t dec_block(BitReader& br, int64_t max_block, uint8_t* out,
             }
             gpos--;
             int t = sels[g];
-            int l = min_len_t[t];
-            int32_t v = br.read(l);
-            while (v > limit[t][l]) {
-                v = (v << 1) | br.bit();
-                l++;
-                if (l > 23 || !br.ok) return -1;
+            int sym;
+            uint16_t e = lut[t][br.peek(kLut)];
+            if (e != 0xFFFF) {
+                sym = e >> 5;
+                br.pos += e & 31;
+                if (br.pos > total_bits) return -1;
+            } else {
+                int l = min_len_t[t];
+                int32_t v = br.read(l);
+                while (v > limit[t][l]) {
+                    v = (v << 1) | br.bit();
+                    l++;
+                    if (l > 23 || !br.ok) return -1;
+                }
+                int32_t pi = v - base[t][l];
+                if (pi < 0 || pi >= alpha) return -1;  // incomplete code
+                sym = perm[t][pi];
             }
-            int sym = perm[t][v - base[t][l]];
             if (sym == eob) break;
             if (sym <= 1) {  // RUNA/RUNB
                 run += run_w << sym;
