@@ -5,7 +5,7 @@ get_client_starch_version "0.1" in include/starch3api.hpp via print_version);
 this rebuild starts its own line.
 """
 
-__version__ = "1.0.0"
+__version__ = "1.1.0"
 
 # Archive-format version written into metadata (see format/SPEC.md).
 FORMAT_VERSION = (1, 1, 0)
