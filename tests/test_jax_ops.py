@@ -271,3 +271,17 @@ class TestDeviceInverseBwt:
             pad[:n] = last
             out = ibwt_padded(jnp.asarray(pad), np.int32(ptr), np.int32(n), n_max)
             assert np.array_equal(np.asarray(out)[:n], d)
+
+
+def test_device_rle2_sharded_mesh(rng):
+    """device_rle2 fused step on an 8-device mesh: archive bytes stay
+    topology-independent and libbz2-identical."""
+    import bz2
+
+    from starch3_tpu.parallel.mesh import make_block_mesh
+    from starch3_tpu.parallel.pipeline import encode_streams
+
+    mesh = make_block_mesh()
+    data = make_bed_text(rng, n=3000)
+    enc = encode_streams([data], mesh=mesh, device_rle2=True)[0]
+    assert enc.data == bz2.compress(data, 9)
