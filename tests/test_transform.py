@@ -169,3 +169,14 @@ class TestBedParser:
     def test_writer_roundtrip_3col(self, rng):
         text = make_bed_text(rng, n=3000, with_remainder=False)
         assert write_bed(parse_bed(text)) == text
+
+
+def test_empty_remainder_canonicalizes():
+    """A trailing tab (empty remainder) canonicalizes to the 3-column
+    form — matching the reference's conditional emission
+    (starch3api.hpp:470-475: '\\t'+rem written only when rem_len > 0)."""
+    from starch3_tpu.api import compress_bed_bytes, decompress_starch_bytes
+
+    bed = b"chr1\t1\t5\t\nchr1\t9\t12\tkeep\n"
+    out = decompress_starch_bytes(compress_bed_bytes(bed))
+    assert out == b"chr1\t1\t5\nchr1\t9\t12\tkeep\n"
