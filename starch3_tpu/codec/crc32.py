@@ -70,11 +70,18 @@ def _bitrev32(x: int) -> int:
 def crc32_bytes(data: bytes) -> int:
     """CRC of a whole buffer (init 0xFFFFFFFF, final inversion).
 
-    Hot path: bzip2's MSB-first CRC is the bit-reversal conjugate of the
+    Hot path: the native slice-by-8 table CRC (runtime.cpp s3_crc32).
+    Fallback: bzip2's MSB-first CRC is the bit-reversal conjugate of the
     reflected (zlib) CRC over bit-reversed bytes — verified against the
     table implementation in tests — so the heavy lifting runs in zlib's C
     at GB/s with one vectorized byte-reversal pass.
     """
+    from starch3_tpu.runtime import crc32_native
+
+    native = crc32_native(data)
+    if native is not None:
+        return native
+
     import zlib
 
     rev = _BITREV8[np.frombuffer(data, dtype=np.uint8)].tobytes()

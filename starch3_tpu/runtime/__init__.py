@@ -123,6 +123,8 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.s3_crc32.restype = ctypes.c_uint32
+        lib.s3_crc32.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.s3_parse_ints.restype = ctypes.c_int64
         lib.s3_parse_ints.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -135,6 +137,15 @@ def get_lib():
         ]
         _lib = lib
         return _lib
+
+
+def crc32_native(data: bytes) -> int | None:
+    """bzip2 MSB-first CRC-32 (runtime.cpp s3_crc32), or None."""
+    lib = get_lib()
+    if lib is None or not data:
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return int(lib.s3_crc32(arr.ctypes.data, arr.size))
 
 
 def make_code_lengths_native(freq: np.ndarray, alpha_size: int, max_len: int):
@@ -264,24 +275,34 @@ def bed_transform_native(data: bytes):
     if lib is None or not data:
         return None
     arr = np.frombuffer(data, dtype=np.uint8)
-    n_lines = data.count(b"\n") + 1
-    out_cap = arr.size + 48 * n_lines + 64
-    out = np.empty(out_cap, dtype=np.uint8)
-    max_chroms = n_lines + 1
-    # the C side writes text_offsets[0]; np.empty everywhere (entries past
-    # nc are never read)
-    text_offsets = np.empty(max_chroms + 1, dtype=np.int64)
-    name_offsets = np.empty(max_chroms, dtype=np.int64)
-    name_lens = np.empty(max_chroms, dtype=np.int64)
-    line_counts = np.empty(max_chroms, dtype=np.int64)
-    nonuniq = np.empty(max_chroms, dtype=np.int64)
-    uniq = np.empty(max_chroms, dtype=np.int64)
-    nc = lib.s3_bed_transform(
-        arr.ctypes.data, arr.size, out.ctypes.data, out_cap, max_chroms,
-        text_offsets.ctypes.data, name_offsets.ctypes.data,
-        name_lens.ctypes.data, line_counts.ctypes.data,
-        nonuniq.ctypes.data, uniq.ctypes.data,
-    )
+    # optimistic capacities first (counting newlines to size exactly costs
+    # a full extra pass over corpus-scale inputs); -2 = capacity -> retry
+    # once with the worst-case bound before giving up
+    for attempt in range(2):
+        if attempt == 0:
+            out_cap = arr.size + arr.size // 4 + 4096
+            max_chroms = 65536
+        else:
+            n_lines = data.count(b"\n") + 1
+            out_cap = arr.size + 48 * n_lines + 64
+            max_chroms = n_lines + 1
+        out = np.empty(out_cap, dtype=np.uint8)
+        # the C side writes text_offsets[0]; np.empty everywhere (entries
+        # past nc are never read)
+        text_offsets = np.empty(max_chroms + 1, dtype=np.int64)
+        name_offsets = np.empty(max_chroms, dtype=np.int64)
+        name_lens = np.empty(max_chroms, dtype=np.int64)
+        line_counts = np.empty(max_chroms, dtype=np.int64)
+        nonuniq = np.empty(max_chroms, dtype=np.int64)
+        uniq = np.empty(max_chroms, dtype=np.int64)
+        nc = lib.s3_bed_transform(
+            arr.ctypes.data, arr.size, out.ctypes.data, out_cap, max_chroms,
+            text_offsets.ctypes.data, name_offsets.ctypes.data,
+            name_lens.ctypes.data, line_counts.ctypes.data,
+            nonuniq.ctypes.data, uniq.ctypes.data,
+        )
+        if nc != -2:
+            break
     if nc < 0:
         return None
     buf = out[: int(text_offsets[nc])].tobytes()

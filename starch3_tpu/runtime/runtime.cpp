@@ -18,10 +18,15 @@
 // Every function has a NumPy fallback in Python; the loader
 // (runtime/__init__.py) decides per-process.
 
+#ifndef _GNU_SOURCE
+#define _GNU_SOURCE 1  // memmem
+#endif
+
 #include <algorithm>
 #include <mutex>
 #include <cstdint>
 #include <cstring>
+#include <string.h>
 #include <vector>
 
 extern "C" {
@@ -573,21 +578,41 @@ static void sais_core(const P* p, int32_t* sa, int64_t n, int32_t K) {
 // depend on which sorter ran.
 // ---------------------------------------------------------------------------
 
+struct RotPair;
+
 struct RotCtx {
-    const uint8_t* db;  // doubled block (2n bytes)
+    const uint8_t* db;  // doubled block (2n + 8 bytes; 8-byte periodic pad)
     int64_t n;
-    int64_t budget;  // byte-comparison budget; <0 -> give up
+    int64_t budget;     // comparison budget; <0 -> give up
+    RotPair* scratch;   // n entries; bucket [lo,hi) uses scratch[lo,hi)
 };
+
+// 8 bytes of the rotation starting at `a`, from byte `depth` on, as a
+// big-endian word — so uint64 order == lexicographic byte order.  The
+// doubled buffer is padded with 8 wraparound bytes, making every load
+// (a <= n-1, depth <= n-1) in-bounds; bytes past position n are the
+// periodic extension of the rotation, so comparisons that spill past the
+// rotation length stay order-consistent (and exactly-equal rotations are
+// routed to the SA-IS path before this sorter runs — see rot_sort).
+static inline uint64_t rot_key(const RotCtx& cx, int32_t a, int64_t depth) {
+    uint64_t w;
+    memcpy(&w, cx.db + a + depth, 8);
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_BIG_ENDIAN__
+    return w;
+#else
+    return __builtin_bswap64(w);
+#endif
+}
 
 // full compare of rotations a,b from byte `depth` on; true if rot(a) < rot(b)
 static bool rot_less(RotCtx& cx, int32_t a, int32_t b, int64_t depth) {
-    const uint8_t* pa = cx.db + a + depth;
-    const uint8_t* pb = cx.db + b + depth;
     int64_t rem = cx.n - depth;
-    for (int64_t d = 0; d < rem; d++) {
-        if (pa[d] != pb[d]) {
-            cx.budget -= d + 1;
-            return pa[d] < pb[d];
+    for (int64_t d = 0; d < rem; d += 8) {
+        uint64_t wa = rot_key(cx, a, depth + d);
+        uint64_t wb = rot_key(cx, b, depth + d);
+        if (wa != wb) {
+            cx.budget -= d + 8;
+            return wa < wb;
         }
     }
     cx.budget -= rem;
@@ -608,11 +633,90 @@ static void rot_insertion(RotCtx& cx, int32_t* ptr, int64_t lo, int64_t hi,
     }
 }
 
+// Key-gather sort of one bucket: fetch each rotation's 8-byte word at
+// `depth` ONCE into a contiguous (key, idx) scratch, sort there, and
+// recurse only into equal-key runs 8 bytes deeper.  A ternary quicksort
+// re-reads the doubled block on every partition pass (one random cache
+// miss per element per pass); this does exactly one random load per
+// element per 8 bytes of resolved depth — the sort itself runs over
+// contiguous scratch and stays in cache.
+struct RotPair {
+    uint64_t key;
+    int32_t idx;
+};
+
+// In-place MSD byte radix ("American flag") sort of pairs by key —
+// equal keys end up adjacent (within-run order is arbitrary, resolved
+// by the caller's deeper recursion), matching what rot_mkqs needs.
+// ~2x std::sort on these skewed text-chunk keys.
+static void rp_radix(RotPair* a, int64_t n, int shift) {
+    while (n >= 48) {
+        int64_t start[257];
+        int live = 0;
+        {
+            int64_t cnt[256] = {0};
+            for (int64_t i = 0; i < n; i++)
+                cnt[(a[i].key >> shift) & 255]++;
+            int64_t s = 0;
+            for (int b = 0; b < 256; b++) {
+                start[b] = s;
+                s += cnt[b];
+                live += cnt[b] != 0;
+            }
+            start[256] = s;
+        }
+        if (live == 1) {
+            // one live byte value: nothing moves; descend in place
+            // (common on repetitive text — long shared prefixes)
+            if (shift == 0) return;
+            shift -= 8;
+            continue;
+        }
+        int64_t next[256];
+        memcpy(next, start, sizeof(next));
+        for (int b = 0; b < 256; b++) {
+            while (next[b] < start[b + 1]) {
+                RotPair v = a[next[b]];
+                int d;
+                while ((d = (int)((v.key >> shift) & 255)) != b) {
+                    RotPair t = a[next[d]];
+                    a[next[d]++] = v;
+                    v = t;
+                }
+                a[next[b]++] = v;
+            }
+        }
+        if (shift == 0) return;
+        shift -= 8;
+        // recurse into all but the largest bucket; loop on the largest
+        int bmax = 0;
+        for (int b = 1; b < 256; b++)
+            if (start[b + 1] - start[b] > start[bmax + 1] - start[bmax])
+                bmax = b;
+        for (int b = 0; b < 256; b++) {
+            int64_t sz = start[b + 1] - start[b];
+            if (b != bmax && sz > 1) rp_radix(a + start[b], sz, shift);
+        }
+        a += start[bmax];
+        n = start[bmax + 1] - start[bmax];
+    }
+    // insertion sort small runs by key
+    for (int64_t i = 1; i < n; i++) {
+        RotPair v = a[i];
+        int64_t j = i;
+        while (j > 0 && a[j - 1].key > v.key) {
+            a[j] = a[j - 1];
+            j--;
+        }
+        a[j] = v;
+    }
+}
+
 static void rot_mkqs(RotCtx& cx, int32_t* ptr, int64_t lo, int64_t hi,
                      int64_t depth) {
     while (hi - lo > 1) {
         if (cx.budget < 0) return;
-        if (hi - lo < 12) {
+        if (hi - lo < 16) {
             rot_insertion(cx, ptr, lo, hi, depth);
             return;
         }
@@ -622,44 +726,28 @@ static void rot_mkqs(RotCtx& cx, int32_t* ptr, int64_t lo, int64_t hi,
                       [](int32_t a, int32_t b) { return a > b; });
             return;
         }
-        // median-of-3 pivot byte at this depth
-        const uint8_t* db = cx.db;
-        uint8_t p1 = db[ptr[lo] + depth];
-        uint8_t p2 = db[ptr[(lo + hi) >> 1] + depth];
-        uint8_t p3 = db[ptr[hi - 1] + depth];
-        uint8_t pv = p1 < p2 ? (p2 < p3 ? p2 : (p1 < p3 ? p3 : p1))
-                             : (p1 < p3 ? p1 : (p2 < p3 ? p3 : p2));
-        // ternary partition
-        int64_t lt = lo, i = lo, gt = hi;
-        while (i < gt) {
-            uint8_t c = db[ptr[i] + depth];
-            if (c < pv) {
-                int32_t t = ptr[lt];
-                ptr[lt] = ptr[i];
-                ptr[i] = t;
-                lt++;
-                i++;
-            } else if (c > pv) {
-                gt--;
-                int32_t t = ptr[gt];
-                ptr[gt] = ptr[i];
-                ptr[i] = t;
-            } else {
-                i++;
+        RotPair* pr = cx.scratch + lo;
+        const int64_t m = hi - lo;
+        for (int64_t i = 0; i < m; i++) {
+            if (i + 16 < m)  // gather is the miss-bound loop: prefetch ahead
+                __builtin_prefetch(cx.db + ptr[lo + i + 16] + depth);
+            pr[i] = RotPair{rot_key(cx, ptr[lo + i], depth), ptr[lo + i]};
+        }
+        rp_radix(pr, m, 56);
+        cx.budget -= m;
+        // write back; recurse into equal-key runs (all but the last —
+        // the trailing run continues in this frame, bounding recursion)
+        int64_t rs = 0;
+        for (int64_t i = 1; i < m; i++) {
+            ptr[lo + i - 1] = pr[i - 1].idx;
+            if (pr[i].key != pr[i - 1].key) {
+                if (i - rs > 1) rot_mkqs(cx, ptr, lo + rs, lo + i, depth + 8);
+                rs = i;
             }
         }
-        cx.budget -= hi - lo;
-        // recurse smaller sides, iterate on the equal run at depth+1
-        if (lt - lo < hi - gt) {
-            rot_mkqs(cx, ptr, lo, lt, depth);
-            rot_mkqs(cx, ptr, gt, hi, depth);
-        } else {
-            rot_mkqs(cx, ptr, gt, hi, depth);
-            rot_mkqs(cx, ptr, lo, lt, depth);
-        }
-        lo = lt;
-        hi = gt;
-        depth++;
+        ptr[hi - 1] = pr[m - 1].idx;
+        lo = lo + rs;
+        depth += 8;
     }
 }
 
@@ -670,22 +758,20 @@ static bool rot_sort(const uint8_t* block, int64_t n, int32_t* ptr) {
     // across the wraparound).  Non-periodic blocks cannot have equal
     // rotations, making every ordering decision below comparison-driven
     // and provably correct — so gate on the KMP smallest period.
-    {
-        std::vector<int32_t> pi((size_t)n);
-        pi[0] = 0;
-        int32_t k = 0;
-        for (int64_t i = 1; i < n; i++) {
-            while (k > 0 && block[i] != block[k]) k = pi[(size_t)(k - 1)];
-            if (block[i] == block[k]) k++;
-            pi[(size_t)i] = k;
-        }
-        int64_t p = n - pi[(size_t)(n - 1)];
-        if (p < n && n % p == 0) return false;  // periodic -> SA-IS path
-    }
-    std::vector<uint8_t> dbv((size_t)(2 * n));
+    // doubled block + 8 wraparound bytes so 8-byte word loads at any
+    // (start < n, depth < n) stay in bounds (rot_key)
+    std::vector<uint8_t> dbv((size_t)(2 * n + 8));
     memcpy(dbv.data(), block, (size_t)n);
     memcpy(dbv.data() + n, block, (size_t)n);
+    memcpy(dbv.data() + 2 * n, block, 8);  // n >= 16 on this path
     const uint8_t* db = dbv.data();
+    // Periodicity gate: block is exactly periodic iff it matches one of
+    // its own non-trivial rotations, i.e. iff `block` occurs in the
+    // doubled buffer at an offset in [1, n-1].  The haystack db[1..2n-1)
+    // excludes both trivial occurrences (offset 0, and offset n whose
+    // last byte db[2n-1] lies past the haystack end).
+    if (memmem(db + 1, (size_t)(2 * n - 2), block, (size_t)n) != nullptr)
+        return false;  // periodic -> SA-IS path (equal-rotation tie order)
     // 2-byte histogram
     std::vector<int64_t> ftab(65537, 0);
     for (int64_t i = 0; i < n; i++)
@@ -701,7 +787,8 @@ static bool rot_sort(const uint8_t* block, int64_t n, int32_t* ptr) {
         for (int64_t i = 0; i < n; i++)
             ptr[fill[((int32_t)db[i] << 8) | db[i + 1]]++] = (int32_t)i;
     }
-    RotCtx cx{db, n, 12 * n + 65536};
+    std::vector<RotPair> scratch((size_t)n);
+    RotCtx cx{db, n, 12 * n + 65536, scratch.data()};
     // process major buckets smallest-total first
     int order[256];
     {
@@ -737,6 +824,8 @@ static bool rot_sort(const uint8_t* block, int64_t n, int32_t* ptr) {
             copy_end[j] = ftab[(((int64_t)j << 8) | ss) + 1] - 1;
         }
         for (int64_t i = ftab[(int64_t)ss << 8]; i < copy_start[ss]; i++) {
+            if (i + 16 < copy_start[ss])
+                __builtin_prefetch(db + ptr[i + 16]);
             int64_t k = ptr[i] - 1;
             if (k < 0) k += n;
             uint8_t c1 = db[k];
@@ -744,6 +833,8 @@ static bool rot_sort(const uint8_t* block, int64_t n, int32_t* ptr) {
         }
         for (int64_t i = ftab[(int64_t)(ss + 1) << 8] - 1; i > copy_end[ss];
              i--) {
+            if (i - 16 > copy_end[ss])
+                __builtin_prefetch(db + ptr[i - 16]);
             int64_t k = ptr[i] - 1;
             if (k < 0) k += n;
             uint8_t c1 = db[k];
@@ -868,6 +959,7 @@ struct BitReader {
 };
 
 static uint32_t g_crc_table[256];
+static uint32_t g_crc_slice[8][256];  // slice-by-8 (s3_crc32)
 static std::once_flag g_crc_once;  // parallel decode threads race the init
 static void crc_init() {
     std::call_once(g_crc_once, [] {
@@ -876,7 +968,13 @@ static void crc_init() {
             for (int k = 0; k < 8; k++)
                 c = (c & 0x80000000u) ? (c << 1) ^ 0x04C11DB7u : (c << 1);
             g_crc_table[i] = c;
+            g_crc_slice[0][i] = c;
         }
+        for (int t = 1; t < 8; t++)
+            for (uint32_t i = 0; i < 256; i++) {
+                uint32_t p = g_crc_slice[t - 1][i];
+                g_crc_slice[t][i] = (p << 8) ^ g_crc_table[p >> 24];
+            }
     });
 }
 
@@ -1180,6 +1278,35 @@ int64_t s3_bz2_decode_block(const uint8_t* in, int64_t in_len,
     if (br.read48() != 0x314159265359ULL || !br.ok) return -1;
     const int64_t max_block = 100000LL * level + 64;
     return dec_block(br, max_block, out, out_cap, 0, crc_out);
+}
+
+// ---------------------------------------------------------------------------
+// bzip2's MSB-first CRC-32 of a whole buffer (init 0xFFFFFFFF, final
+// inversion), slice-by-8: eight table lookups fold 8 bytes per step.
+// Behavioral spec: codec/crc32.crc32_bytes.
+// ---------------------------------------------------------------------------
+uint32_t s3_crc32(const uint8_t* p, int64_t n) {
+    crc_init();
+    uint32_t crc = 0xFFFFFFFFu;
+    while (n >= 8) {
+        uint32_t hi;
+        memcpy(&hi, p, 4);
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_BIG_ENDIAN__
+        // bytes already arrive MSB-first in the register
+#else
+        hi = __builtin_bswap32(hi);
+#endif
+        hi ^= crc;
+        crc = g_crc_slice[7][hi >> 24] ^ g_crc_slice[6][(hi >> 16) & 0xFF] ^
+              g_crc_slice[5][(hi >> 8) & 0xFF] ^ g_crc_slice[4][hi & 0xFF] ^
+              g_crc_slice[3][p[4]] ^ g_crc_slice[2][p[5]] ^
+              g_crc_slice[1][p[6]] ^ g_crc_slice[0][p[7]];
+        p += 8;
+        n -= 8;
+    }
+    while (n-- > 0)
+        crc = (crc << 8) ^ g_crc_table[((crc >> 24) ^ *p++) & 0xFF];
+    return ~crc;
 }
 
 // ---------------------------------------------------------------------------
@@ -1597,19 +1724,23 @@ int64_t s3_encode_block(const uint8_t* block, int64_t n, uint32_t crc,
     for (int it = 0; it < 4; it++) {
         for (int t = 0; t < n_groups; t++)
             for (int s = 0; s < alpha; s++) rfreq[t][s] = 0;
-        // transposed length table: one symbol's 6 table costs share a
-        // cache line (len[t][s] would touch 6 rows per symbol)
+        // transposed length table: one symbol's table costs live in one
+        // 16-byte row, and the fixed 8-lane loop below vectorizes to a
+        // single packed uint16 add per symbol (a variable n_groups bound
+        // defeats the auto-vectorizer); lanes >= n_groups accumulate
+        // zeros and are never read (the argmin scans t < n_groups)
         uint16_t lenT[258][8];
-        for (int s = 0; s < alpha; s++)
-            for (int t = 0; t < n_groups; t++)
-                lenT[s][t] = (uint16_t)len[t][s];
+        for (int s = 0; s < alpha; s++) {
+            for (int t = 0; t < 8; t++)
+                lenT[s][t] = t < n_groups ? (uint16_t)len[t][s] : 0;
+        }
         for (int64_t g = 0; g < n_sel; g++) {
             int64_t b = g * 50;
             int64_t e = b + 50 < n_mtf ? b + 50 : n_mtf;
-            int32_t cost[6] = {0, 0, 0, 0, 0, 0};
+            uint16_t cost[8] = {0, 0, 0, 0, 0, 0, 0, 0};
             for (int64_t i = b; i < e; i++) {
                 const uint16_t* lt = lenT[syms[(size_t)i]];
-                for (int t = 0; t < n_groups; t++) cost[t] += lt[t];
+                for (int t = 0; t < 8; t++) cost[t] = (uint16_t)(cost[t] + lt[t]);
             }
             int best = 0;
             for (int t = 1; t < n_groups; t++)
