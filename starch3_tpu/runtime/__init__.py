@@ -390,14 +390,24 @@ def untransform_bed_native(chrom: str, text: bytes):
         return None
     arr = np.frombuffer(text, dtype=np.uint8)
     name = chrom.encode("ascii")
-    n_lines = text.count(b"\n") + 1
-    cap = arr.size + n_lines * (len(name) + 46) + 64
-    out = np.empty(cap, dtype=np.uint8)
-    nrec = np.zeros(1, dtype=np.int64)
-    n = lib.s3_untransform_bed(
-        arr.ctypes.data, arr.size, name, len(name),
-        out.ctypes.data, cap, nrec.ctypes.data,
-    )
+    # optimistic capacity first (exact newline counting costs an extra
+    # pass); -2 = capacity -> retry once with the worst-case bound
+    for attempt in range(2):
+        if attempt == 0:
+            # BED output is typically ~3x the transformed text; np.empty
+            # is lazy, so a generous virtual cap costs nothing
+            cap = 8 * arr.size + 64 * (len(name) + 46) + 4096
+        else:
+            n_lines = text.count(b"\n") + 1
+            cap = arr.size + n_lines * (len(name) + 46) + 64
+        out = np.empty(cap, dtype=np.uint8)
+        nrec = np.zeros(1, dtype=np.int64)
+        n = lib.s3_untransform_bed(
+            arr.ctypes.data, arr.size, name, len(name),
+            out.ctypes.data, cap, nrec.ctypes.data,
+        )
+        if n != -2:
+            break
     if n < 0:
         return None
     return out[:n].tobytes(), int(nrec[0])
