@@ -28,6 +28,18 @@ import numpy as np
 _BIG = np.int32(0x7FFFFFF0)
 
 
+def _unscatter(order: jax.Array, values: jax.Array) -> jax.Array:
+    """``out[order[i]] = values[i]`` for a permutation ``order``.
+
+    Expressed as a sort keyed on ``order`` instead of a scatter: on TPU a
+    random scatter costs ~2x a full bitonic sort per pass (measured,
+    docs/DESIGN.md), so inverting the permutation with one more sort is
+    the cheaper formulation of the rerank epilogue.
+    """
+    _, out = jax.lax.sort((order, values), num_keys=1, is_stable=False)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("n_max", "init_bytes"))
 def bwt_encode_padded(
     block: jax.Array, n: jax.Array, n_max: int, init_bytes: int = 1
@@ -53,15 +65,21 @@ def bwt_encode_padded(
 
     if init_bytes == 3:
         # cyclic 3-byte big-endian key: block[i]<<16|block[i+1]<<8|block[i+2]
-        # (mod-n shifts via conditional subtract; see round_body)
-        j1 = jnp.where(idx + 1 >= n, idx + 1 - n, idx + 1)
-        j2 = jnp.where(idx + 2 >= n, idx + 2 - n, idx + 2)
-        j2 = jnp.where(j2 >= n, j2 - n, j2)
+        # — neighbor reads are cyclic shifts, expressed as rolls + select
+        # (see round_body for why rolls beat gathers here)
         b32 = block.astype(jnp.int32)
+
+        def _cyclic(shift):
+            kk = jnp.where(shift >= n, shift - n, shift)
+            kk = jnp.where(kk >= n, kk - n, kk)
+            lo = jnp.roll(b32, -kk)
+            hi = jnp.roll(b32, n - kk)
+            return jnp.where(idx + kk < n, lo, hi)
+
         key = (
             (b32 << 16)
-            | (b32[jnp.where(valid, j1, 0)] << 8)
-            | b32[jnp.where(valid, j2, 0)]
+            | (jnp.where(valid, _cyclic(jnp.int32(1)), 0) << 8)
+            | jnp.where(valid, _cyclic(jnp.int32(2)), 0)
         )
         raw = jnp.where(valid, key, _BIG + 1)
         # densify so ranks stay small ints, then the loop starts at k=3
@@ -70,7 +88,7 @@ def bwt_encode_padded(
             [jnp.zeros((1,), jnp.int32), (rs[1:] != rs[:-1]).astype(jnp.int32)]
         )
         dense = jnp.cumsum(changed)
-        rank = jnp.zeros(n_max, jnp.int32).at[order].set(dense)
+        rank = _unscatter(order, dense)
         rank = jnp.where(valid, rank, _BIG + 1)
         k0 = jnp.int32(3)
         done0 = jnp.max(jnp.where(valid, rank, -1)) == n - 1
@@ -82,12 +100,19 @@ def bwt_encode_padded(
 
     def round_body(state):
         rank, k, _done = state
-        # (idx + k) mod n without integer mod: the loop cond keeps k < 2n,
-        # so idx + k < 3n and two conditional subtracts wrap correctly
-        j = idx + k
-        j = jnp.where(j >= n, j - n, j)
-        j = jnp.where(j >= n, j - n, j)
-        rank2 = jnp.where(valid, rank[jnp.where(valid, j, 0)], _BIG + 1)
+        # rank[(idx + k) mod n] is a cyclic shift, not a random gather:
+        # express it as two contiguous rolls + select (measured 2x faster
+        # than the gather formulation on TPU — the gather cost as much as
+        # both sorts combined).  The loop cond keeps k < 2n, so one
+        # conditional subtract normalizes the shift below n.
+        kk = jnp.where(k >= n, k - n, k)
+        rolled_lo = jnp.roll(rank, -kk)      # rank[idx + kk]   (idx+kk < n)
+        rolled_hi = jnp.roll(rank, n - kk)   # rank[idx + kk - n] (wrapped)
+        rank2 = jnp.where(
+            valid,
+            jnp.where(idx + kk < n, rolled_lo, rolled_hi),
+            _BIG + 1,
+        )
         r1s, r2s, order = jax.lax.sort(
             (rank, rank2, idx), num_keys=2, is_stable=True
         )
@@ -98,7 +123,7 @@ def bwt_encode_padded(
             ]
         )
         new_rank_sorted = jnp.cumsum(changed)
-        new_rank = jnp.zeros_like(rank).at[order].set(new_rank_sorted)
+        new_rank = _unscatter(order, new_rank_sorted)
         new_rank = jnp.where(valid, new_rank, _BIG + 1)
         # distinct when the max valid rank equals n-1
         done = jnp.max(jnp.where(valid, new_rank, -1)) == n - 1
