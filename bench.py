@@ -79,13 +79,13 @@ def measure_encode(bed: bytes, use_jax: bool, reps: int = 3) -> tuple[float, byt
 
 def main() -> int:
     if "--jax-worker" in sys.argv:
-        # subprocess mode: attempt the device path on a 20K-interval
-        # chr21 slice (131 072-element geometry bucket — the largest
-        # program the tunneled backend reliably compiles inside the
-        # timeout; measured ~325 s AOT for it vs >10 min for the full
-        # 901 120 bucket).  Steady-state here is tunnel-dispatch-latency
-        # bound (~0.3 s/round trip), not kernel bound.
-        bed = make_chr21_bed(20_000)
+        # subprocess mode: the device path on a 150K-interval chr21 slice
+        # (true 901 120-element geometry bucket).  After the scatter->sort
+        # /gather->roll kernel rework this compiles in ~100 s on the
+        # tunneled backend (was >10 min); steady-state remains tunnel-
+        # dispatch-latency bound (~0.3 s/round trip), not kernel bound
+        # (the BWT itself measures ~0.4 ms per 131k block on-chip).
+        bed = make_chr21_bed(150_000)
         dt, archive = measure_encode(bed, use_jax=True)
         sys.stdout.write(
             json.dumps({"seconds": dt, "n": len(archive), "in": len(bed)}) + "\n"
@@ -160,7 +160,7 @@ def main() -> int:
                     "baseline_libbz2_1core_mb_s": round(baseline_mbps, 3),
                     "decode_mb_s": round(decode_mbps, 3),
                     "chr21_single_stream_mb_s": round(chr21_mbps, 3),
-                    "jax_path_mb_s_20k_tunnel_latency_bound": round(jax_mbps, 3) if jax_mbps else None,
+                    "jax_path_mb_s_901k_tunnel_latency_bound": round(jax_mbps, 3) if jax_mbps else None,
                 },
             }
         )
