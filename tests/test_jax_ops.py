@@ -285,3 +285,59 @@ def test_device_rle2_sharded_mesh(rng):
     data = make_bed_text(rng, n=3000)
     enc = encode_streams([data], mesh=mesh, device_rle2=True)[0]
     assert enc.data == bz2.compress(data, 9)
+
+
+class TestDeviceInverseMtfRle2:
+    """ops/imtf_jax.py + ops/irle2_jax.py: the decode-side device kernels.
+
+    Oracle: codec/mtf.mtf_rle2_decode (itself exercised by the bit-exact
+    decoder tests), applied to real encoder output so every RUNA/RUNB
+    digit pattern and rank distribution comes from the actual format.
+    """
+
+    def test_irle2_matches_oracle(self, rng):
+        from starch3_tpu.codec.mtf import mtf_ranks, mtf_rle2, symbol_map
+        from starch3_tpu.ops.irle2_jax import irle2_decode_jax
+
+        for n in (1, 17, 500, 4096):
+            blk = rng.integers(0, 16, n, dtype=np.uint8)  # zero-run heavy
+            res = mtf_rle2(blk)
+            syms = res.symbols[:-1]  # strip EOB
+            _, u2s, n_in = symbol_map(blk)
+            want = mtf_ranks(u2s[blk], n_in)
+            got = irle2_decode_jax(np.asarray(syms), n_hint=max(n, 8))
+            assert got.tolist() == want.tolist()
+
+    def test_imtf_matches_oracle(self, rng):
+        from starch3_tpu.codec.mtf import mtf_ranks, symbol_map
+        from starch3_tpu.ops.imtf_jax import imtf_decode_jax
+
+        for n in (1, 100, 3000):
+            blk = rng.integers(0, 200, n, dtype=np.uint8)
+            in_use, u2s, n_in = symbol_map(blk)
+            ranks = mtf_ranks(u2s[blk], n_in)
+            got = imtf_decode_jax(ranks.astype(np.int32), in_use)
+            assert got.tolist() == blk.tolist()
+
+    def test_full_device_decode_chain(self, rng):
+        """symbols -> irle2 -> imtf -> ibwt on device == original block."""
+        import jax.numpy as jnp
+
+        from starch3_tpu.codec.bwt import bwt_encode
+        from starch3_tpu.codec.mtf import mtf_rle2
+        from starch3_tpu.ops.ibwt_jax import ibwt_padded
+        from starch3_tpu.ops.imtf_jax import imtf_decode_jax
+        from starch3_tpu.ops.irle2_jax import irle2_decode_jax
+
+        n = 2500
+        blk = rng.integers(0, 8, n, dtype=np.uint8)
+        last, ptr = bwt_encode(blk)
+        res = mtf_rle2(last)
+        ranks = irle2_decode_jax(np.asarray(res.symbols[:-1]), n_hint=4096)
+        assert ranks.size == n
+        last2 = imtf_decode_jax(ranks.astype(np.int32), res.in_use)
+        assert last2.tolist() == last.tolist()
+        pad = np.zeros(4096, np.uint8)
+        pad[:n] = last2
+        out = ibwt_padded(jnp.asarray(pad), np.int32(ptr), np.int32(n), 4096)
+        assert np.array_equal(np.asarray(out)[:n], blk)
