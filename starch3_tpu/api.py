@@ -457,18 +457,37 @@ def compress_bed_file(
     writer.finish()
 
 
-def decompress_starch_bytes(data: bytes, workers: int | None = None) -> bytes:
+def decompress_starch_bytes(
+    data: bytes, workers: int | None = None, use_jax: bool = False, mesh=None
+) -> bytes:
     """.starch archive bytes -> BED text (byte-exact round trip).
 
     Streams are independent, so decode runs them through a thread pool
     (the native decoder releases the GIL); results concatenate in
     metadata order regardless of completion order.  Multi-block streams
     additionally decode block-parallel via the metadata block index.
+
+    ``use_jax`` routes the vectorizable decode stages (inverse RLE2 ->
+    MTF -> BWT) through the device kernels, batched over all streams'
+    blocks and sharded over ``mesh`` when given — the decode mirror of
+    the encode device path (parallel/pipeline.decode_streams).
     """
     reader = StarchReader.from_bytes(data)
     fmt = reader.metadata.compression_format
 
     items = list(reader.iter_streams())
+    if use_jax and fmt == "bzip2" and items:
+        from starch3_tpu.parallel.pipeline import decode_streams
+
+        texts = decode_streams([stream for _meta, stream in items], mesh=mesh)
+        parts = [
+            _decode_stream_to_bed(meta, stream, fmt, text)
+            for (meta, stream), text in zip(items, texts)
+        ]
+        out = b"".join(parts)
+        if not reader.metadata.final_newline and out.endswith(b"\n"):
+            out = out[:-1]
+        return out
     if workers is None:
         import os
 

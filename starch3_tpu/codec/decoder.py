@@ -99,8 +99,12 @@ def _decode_symbols(
         out.append(sym)
 
 
-def read_block(br: BitReader) -> bytes:
-    """Decode one block (magic already consumed); returns original bytes."""
+def read_block_symbols(br: BitReader):
+    """Parse one block's bit stream (magic already consumed) down to the
+    Huffman-decoded symbol stream — the host-sequential half of block
+    decode.  Returns (block_crc, orig_ptr, in_use, symbols); the
+    remaining stages (RLE2/MTF/BWT/RLE1 inversion) are vectorizable and
+    have device kernels (ops/irle2_jax.py, imtf_jax.py, ibwt_jax.py)."""
     block_crc = br.read(32)
     if br.read_bit():
         raise FormatError("bzip2: randomised blocks are not supported")
@@ -135,6 +139,12 @@ def read_block(br: BitReader) -> bytes:
         selectors[i] = s
     lengths = _decode_huffman_tables(br, n_groups, alpha_size)
     symbols = _decode_symbols(br, lengths, selectors, alpha_size)
+    return block_crc, orig_ptr, in_use, symbols
+
+
+def read_block(br: BitReader) -> bytes:
+    """Decode one block (magic already consumed); returns original bytes."""
+    block_crc, orig_ptr, in_use, symbols = read_block_symbols(br)
     bwt_last = mtf_rle2_decode(symbols, in_use)
     if orig_ptr >= bwt_last.size:
         raise FormatError("bzip2: origPtr out of range")

@@ -47,12 +47,15 @@ def ibwt_padded(last: jax.Array, orig_ptr: jax.Array, n: jax.Array, n_max: int):
     Returns:
       out: uint8[n_max] original block bytes (valid prefix of length n)
     """
+    from starch3_tpu.ops.bwt_jax import _unscatter
+
     idx = jnp.arange(n_max, dtype=jnp.int32)
     valid = idx < n
-    # 1. LF via stable sort on the symbol (padding sorts to the tail)
+    # 1. LF via stable sort on the symbol (padding sorts to the tail);
+    # the inverse permutation is another sort, not a scatter (bwt_jax)
     key = jnp.where(valid, last.astype(jnp.int32), _BIG)
     _, sigma = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
-    lf = jnp.zeros(n_max, jnp.int32).at[sigma].set(idx)
+    lf = _unscatter(sigma, idx)
 
     # 2. pointer jumping with the start row frozen
     nxt = jnp.where(idx == orig_ptr, idx, lf)
@@ -73,7 +76,9 @@ def ibwt_padded(last: jax.Array, orig_ptr: jax.Array, n: jax.Array, n_max: int):
     # 3. members of the start cycle converged onto the frozen start; the
     # output is that cycle's symbols tiled with period c
     member = valid & (nxt == orig_ptr)
-    c = member.sum().astype(jnp.int32)
+    # c >= 1 for any in-range orig_ptr; the clamp keeps the mod below
+    # well-defined on corrupt inputs (callers validate ptr/CRC host-side)
+    c = jnp.maximum(member.sum().astype(jnp.int32), 1)
     period = jnp.zeros(n_max, jnp.uint8)
     period = period.at[jnp.where(member, d, n_max)].set(
         jnp.where(member, last, 0), mode="drop"

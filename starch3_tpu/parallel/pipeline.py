@@ -355,3 +355,174 @@ def _drain_one(bw, item, combined, n_max):
         combined = combine_block_crc(combined, blk.crc)
         write_block_from_ranks(bw, blk.crc, ptr, ranks, in_use)
     return combined
+
+
+# ---------------------------------------------------------------------------
+# Device decode: the mirror pipeline.  Host walks each stream's bit
+# stream down to Huffman-decoded symbols (codec/decoder.read_block_symbols
+# — bit positions are inherently sequential), the device runs
+# irle2 -> imtf -> ibwt batched over all streams' blocks, the host
+# finishes with RLE1 inversion + CRC verification.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_device_decode_step(n_max: int):
+    import jax
+    import jax.numpy as jnp
+
+    from starch3_tpu.ops.ibwt_jax import ibwt_padded
+    from starch3_tpu.ops.imtf_jax import imtf_decode_padded
+    from starch3_tpu.ops.irle2_jax import irle2_decode_padded
+
+    def one(syms, m, alphabet, ptr):
+        ranks, n = irle2_decode_padded(syms, m, n_max, n_max)
+        n_c = jnp.minimum(n, n_max)  # corrupt streams: host re-validates n
+        byts = imtf_decode_padded(ranks, n_c, alphabet, n_max)
+        block = ibwt_padded(byts.astype(jnp.uint8), ptr, n_c, n_max)
+        return block, n
+
+    def step(syms_b, m_b, alpha_b, ptr_b):
+        return jax.vmap(one)(syms_b, m_b, alpha_b, ptr_b)
+
+    return jax.jit(step)
+
+
+def _rle2_decoded_len(syms: np.ndarray) -> int:
+    """Decoded byte count of an RLE2 symbol stream (EOB stripped) — the
+    host-side twin of the contribution sum in ops/irle2_jax.py; used to
+    pick the geometry bucket and validate before dispatch."""
+    if syms.size == 0:
+        return 0
+    is_run = syms <= 1
+    t = np.arange(syms.size, dtype=np.int64)
+    starts = is_run & np.concatenate([[True], ~is_run[:-1]])
+    start_pos = np.maximum.accumulate(np.where(starts, t, -1))
+    k = np.minimum(t - start_pos, 21)
+    contrib = np.where(is_run, (syms.astype(np.int64) + 1) << k, 1)
+    return int(contrib.sum())
+
+
+def decode_streams(
+    stream_datas: list[bytes], mesh=None, batch_size: int = 8
+) -> list[bytes]:
+    """Decompress many bzip2 streams with one global device queue.
+
+    The decode mirror of encode_streams: all streams' blocks share
+    geometry-bucketed batches with two-deep software pipelining;
+    output bytes are identical to the host decoder's (FormatError on any
+    corruption, including CRC mismatches).
+    """
+    from starch3_tpu.codec.bitio import BitReader
+    from starch3_tpu.codec.decoder import BLOCK_MAGIC, read_block_symbols
+    from starch3_tpu.codec.rle1 import rle1_decode
+    from starch3_tpu.errors import FormatError
+
+    per_stream: list[tuple[list, int]] = []  # ([block dicts], stored_crc)
+    flat: list[tuple[int, int]] = []
+    for si, stream in enumerate(stream_datas):
+        if len(stream) < 4 or stream[:3] != b"BZh":
+            raise FormatError("bzip2: bad stream header")
+        level = stream[3] - 0x30
+        if not 1 <= level <= 9:
+            raise FormatError("bzip2: bad block-size digit")
+        max_block = 100_000 * level + 64
+        br = BitReader(stream)
+        br.read(32)
+        blocks = []
+        while True:
+            magic = br.read(48)
+            if magic == STREAM_END_MAGIC:
+                stored = br.read(32)
+                break
+            if magic != BLOCK_MAGIC:
+                raise FormatError("bzip2: bad block magic")
+            crc, ptr, in_use, symbols = read_block_symbols(br)
+            n_exp = _rle2_decoded_len(np.asarray(symbols))
+            if not 0 < n_exp <= max_block or ptr >= n_exp:
+                raise FormatError("bzip2: bad block geometry")
+            flat.append((si, len(blocks)))
+            blocks.append((crc, ptr, in_use, np.asarray(symbols), n_exp))
+        per_stream.append((blocks, stored))
+
+    by_bucket: dict[int, list[tuple[int, int]]] = {}
+    for si, bi in flat:
+        by_bucket.setdefault(
+            _bucket_for(per_stream[si][0][bi][4]), []
+        ).append((si, bi))
+
+    decoded: dict[tuple[int, int], bytes] = {}
+    for n_max, items in by_bucket.items():
+        pending = []
+        for lo in range(0, len(items), batch_size):
+            chunk = items[lo : lo + batch_size]
+            pending.append(
+                (chunk, _dispatch_decode_chunk(
+                    [per_stream[si][0][bi] for si, bi in chunk], n_max, mesh
+                ))
+            )
+            if len(pending) > 1:
+                _drain_decode(decoded, per_stream, pending.pop(0))
+        while pending:
+            _drain_decode(decoded, per_stream, pending.pop(0))
+
+    out = []
+    for si, (blocks, stored) in enumerate(per_stream):
+        combined = 0
+        parts = []
+        for bi, (crc, *_rest) in enumerate(blocks):
+            data = rle1_decode(decoded[(si, bi)])
+            from starch3_tpu.codec.crc32 import crc32_bytes
+
+            if crc32_bytes(data) != crc:
+                raise FormatError("bzip2: block CRC mismatch")
+            combined = combine_block_crc(combined, crc)
+            parts.append(data)
+        if combined != stored:
+            raise FormatError("bzip2: stream CRC mismatch")
+        out.append(b"".join(parts))
+    return out
+
+
+def _dispatch_decode_chunk(block_metas, n_max, mesh):
+    import jax
+    import jax.numpy as jnp
+
+    from starch3_tpu.parallel.mesh import block_sharding, pad_batch
+
+    b = len(block_metas)
+    n_dev = mesh.devices.size if mesh is not None else 1
+    b_pad = pad_batch(b, n_dev)
+    syms = np.zeros((b_pad, n_max), dtype=np.int32)
+    ms = np.zeros(b_pad, dtype=np.int32)
+    alphas = np.zeros((b_pad, 256), dtype=np.int32)
+    ptrs = np.zeros(b_pad, dtype=np.int32)
+    for i, (_crc, ptr, in_use, symbols, _n_exp) in enumerate(block_metas):
+        syms[i, : symbols.size] = symbols
+        ms[i] = symbols.size
+        seq = np.flatnonzero(in_use)
+        alphas[i, : seq.size] = seq
+        ptrs[i] = ptr
+    arrays = (syms, ms, alphas, ptrs)
+    if mesh is not None:
+        sharding = block_sharding(mesh)
+        arrays = tuple(
+            jax.device_put(jnp.asarray(a), sharding) for a in arrays
+        )
+    else:
+        arrays = tuple(jnp.asarray(a) for a in arrays)
+    blocks_d, n_d = _jitted_device_decode_step(n_max)(*arrays)
+    return blocks_d, n_d, b
+
+
+def _drain_decode(decoded, per_stream, item):
+    from starch3_tpu.errors import FormatError
+
+    chunk, (blocks_d, n_d, b) = item
+    blocks = np.asarray(blocks_d)
+    ns = np.asarray(n_d)
+    for (si, bi), i in zip(chunk, range(b)):
+        n_exp = per_stream[si][0][bi][4]
+        if int(ns[i]) != n_exp:
+            raise FormatError("bzip2: inconsistent block expansion")
+        decoded[(si, bi)] = blocks[i, :n_exp].tobytes()

@@ -103,3 +103,53 @@ class TestDeviceRle2Pipeline:
         a = compress_bed_bytes(bed, EncodeConfig(use_jax=True, device_rle2=True))
         assert a == compress_bed_bytes(bed, EncodeConfig(use_jax=False))
         assert decompress_starch_bytes(a) == bed
+
+
+class TestDeviceDecode:
+    """parallel/pipeline.decode_streams: the device decode mirror."""
+
+    def test_decode_streams_matches_host(self, rng):
+        import bz2 as stdlib_bz2
+
+        from starch3_tpu.codec.encoder import bz2_compress
+        from starch3_tpu.parallel.pipeline import decode_streams
+
+        texts = [
+            bytes(rng.integers(0, 64, int(rng.integers(1, 5000)), dtype=np.uint8))
+            for _ in range(5)
+        ]
+        streams = [bz2_compress(t, 9) for t in texts]
+        got = decode_streams(streams)
+        assert got == texts
+        # and the streams decode identically through libbz2
+        assert [stdlib_bz2.decompress(s) for s in streams] == texts
+
+    def test_decode_streams_mesh_sharded(self, rng):
+        from starch3_tpu.codec.encoder import bz2_compress
+        from starch3_tpu.parallel.pipeline import decode_streams
+
+        texts = [
+            bytes(rng.integers(0, 16, 3000, dtype=np.uint8)) for _ in range(4)
+        ]
+        streams = [bz2_compress(t, 9) for t in texts]
+        mesh = make_block_mesh()
+        assert decode_streams(streams, mesh=mesh) == texts
+        assert decode_streams(streams) == texts  # topology-independent
+
+    def test_api_use_jax_decode(self, rng):
+        bed = make_bed_text(rng, n=3000)
+        arc = compress_bed_bytes(bed)
+        assert decompress_starch_bytes(arc, use_jax=True) == bed
+
+    def test_corrupt_stream_raises(self, rng):
+        import pytest
+
+        from starch3_tpu.codec.encoder import bz2_compress
+        from starch3_tpu.errors import FormatError
+        from starch3_tpu.parallel.pipeline import decode_streams
+
+        text = bytes(rng.integers(0, 32, 4000, dtype=np.uint8))
+        stream = bytearray(bz2_compress(text, 9))
+        stream[len(stream) // 2] ^= 0x40
+        with pytest.raises(FormatError):
+            decode_streams([bytes(stream)])
