@@ -204,6 +204,7 @@ def main(argv: list[str] | None = None) -> int:
         if (
             opts["decode"]
             and not opts["chrom"]
+            and not opts["jax"]  # device decode runs via the bytes path
             and opts["input"] not in (None, "-")
         ):
             # named-file decode: windowed parallel streams written in order
@@ -237,7 +238,7 @@ def main(argv: list[str] | None = None) -> int:
         elif opts["decode"]:
             from starch3_tpu.api import decompress_starch_bytes
 
-            out = decompress_starch_bytes(data)
+            out = decompress_starch_bytes(data, use_jax=opts["jax"])
         else:
             from starch3_tpu.api import compress_bed_bytes
 
