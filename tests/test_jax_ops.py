@@ -341,3 +341,35 @@ class TestDeviceInverseMtfRle2:
         pad[:n] = last2
         out = ibwt_padded(jnp.asarray(pad), np.int32(ptr), np.int32(n), 4096)
         assert np.array_equal(np.asarray(out)[:n], blk)
+
+    def test_irle2_extreme_runs(self):
+        """All-zero rank streams: pure RUNA/RUNB digit sequences at and
+        around power-of-two run lengths (the bijective-base-2 edge)."""
+        from starch3_tpu.codec.mtf import encode_zero_run
+        from starch3_tpu.ops.irle2_jax import irle2_decode_jax
+
+        for z in (1, 2, 3, 4, 7, 8, 255, 256, 257, 4095, 4096):
+            syms = np.asarray(encode_zero_run(z), dtype=np.int32)
+            ranks = irle2_decode_jax(syms, n_hint=8192)
+            assert ranks.size == z and not ranks.any()
+
+    def test_imtf_single_symbol_alphabet(self):
+        from starch3_tpu.ops.imtf_jax import imtf_decode_jax
+
+        in_use = np.zeros(256, bool)
+        in_use[65] = True
+        ranks = np.zeros(1000, np.int32)  # rank 0 repeated
+        got = imtf_decode_jax(ranks, in_use)
+        assert (got == 65).all()
+
+    def test_imtf_worst_case_ranks(self, rng):
+        """Ranks that constantly reorder the deep end of the list."""
+        from starch3_tpu.codec.mtf import mtf_ranks, symbol_map
+        from starch3_tpu.ops.imtf_jax import imtf_decode_jax
+
+        # round-robin over the full byte alphabet maximizes rank depth
+        blk = np.tile(np.arange(256, dtype=np.uint8), 8)
+        in_use, u2s, n_in = symbol_map(blk)
+        ranks = mtf_ranks(u2s[blk], n_in)
+        got = imtf_decode_jax(ranks.astype(np.int32), in_use)
+        assert got.tolist() == blk.tolist()
