@@ -29,6 +29,10 @@
 #include <string.h>
 #include <vector>
 
+#if defined(__SSSE3__)
+#include <immintrin.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -765,17 +769,35 @@ static bool rot_sort(const uint8_t* block, int64_t n, int32_t* ptr) {
     memcpy(dbv.data() + n, block, (size_t)n);
     memcpy(dbv.data() + 2 * n, block, 8);  // n >= 16 on this path
     const uint8_t* db = dbv.data();
+    // 2-byte histogram
+    std::vector<int64_t> ftab(65537, 0);
+    for (int64_t i = 0; i < n; i++)
+        ftab[((int32_t)db[i] << 8) | db[i + 1]]++;
     // Periodicity gate: block is exactly periodic iff it matches one of
     // its own non-trivial rotations, i.e. iff `block` occurs in the
     // doubled buffer at an offset in [1, n-1].  The haystack db[1..2n-1)
     // excludes both trivial occurrences (offset 0, and offset n whose
     // last byte db[2n-1] lies past the haystack end).
-    if (memmem(db + 1, (size_t)(2 * n - 2), block, (size_t)n) != nullptr)
-        return false;  // periodic -> SA-IS path (equal-rotation tie order)
-    // 2-byte histogram
-    std::vector<int64_t> ftab(65537, 0);
-    for (int64_t i = 0; i < n; i++)
-        ftab[((int32_t)db[i] << 8) | db[i + 1]]++;
+    // Pre-gate from the histogram just built: a block that is r>=2
+    // repetitions of a period has every byte count divisible by r, so if
+    // the gcd of the byte counts is 1 the block cannot be periodic and
+    // the O(n) substring scan is skipped (the common case on real text).
+    {
+        int64_t g = 0;
+        for (int c = 0; c < 256 && g != 1; c++) {
+            int64_t cnt = 0;
+            const int64_t* row = ftab.data() + ((int64_t)c << 8);
+            for (int j = 0; j < 256; j++) cnt += row[j];
+            while (cnt) {
+                int64_t t = g % cnt;
+                g = cnt;
+                cnt = t;
+            }
+        }
+        if (g != 1 &&
+            memmem(db + 1, (size_t)(2 * n - 2), block, (size_t)n) != nullptr)
+            return false;  // periodic -> SA-IS path (equal-rotation ties)
+    }
     int64_t sum = 0;
     for (int64_t b = 0; b <= 65536; b++) {
         int64_t t = b < 65536 ? ftab[b] : 0;
@@ -1665,8 +1687,36 @@ int64_t s3_encode_block(const uint8_t* block, int64_t n, uint32_t crc,
     int n_in_use = 0;
     for (int c = 0; c < 256; c++)
         if (in_use[c]) map[c] = (uint8_t)n_in_use++;
-    // --- MTF ranks (dense alphabet; SIMD find + memmove shift) ------------
+    // --- MTF ranks (dense alphabet) ----------------------------------------
+    // Transformed delta text uses ~14 distinct bytes (digits, tab, newline,
+    // 'p', '-'), so the whole MTF list usually fits one 16-byte vector:
+    // position = compare+movemask, list update = one pshufb through a
+    // per-rank rotate-front permutation.  Larger alphabets (remainder
+    // columns) take the find+memmove path.
     std::vector<uint8_t> ranks((size_t)n);
+#if defined(__SSSE3__)
+    if (n_in_use <= 16) {
+        // perm[j]: new[0]=old[j], new[k]=old[k-1] for k<=j, else old[k]
+        alignas(16) uint8_t perm[16][16];
+        for (int j = 0; j < 16; j++) {
+            perm[j][0] = (uint8_t)j;
+            for (int k = 1; k < 16; k++)
+                perm[j][k] = (uint8_t)(k <= j ? k - 1 : k);
+        }
+        alignas(16) const uint8_t iota[16] = {0, 1, 2,  3,  4,  5,  6,  7,
+                                              8, 9, 10, 11, 12, 13, 14, 15};
+        __m128i list = _mm_load_si128((const __m128i*)iota);
+        for (int64_t i = 0; i < n; i++) {
+            uint8_t s = map[last[i]];
+            __m128i needle = _mm_set1_epi8((char)s);
+            int m = _mm_movemask_epi8(_mm_cmpeq_epi8(list, needle));
+            int j = __builtin_ctz((unsigned)m);  // s is always present
+            ranks[i] = (uint8_t)j;
+            if (j)
+                list = _mm_shuffle_epi8(list, _mm_load_si128((const __m128i*)perm[j]));
+        }
+    } else
+#endif
     {
         uint8_t list[256];
         for (int i = 0; i < n_in_use; i++) list[i] = (uint8_t)i;
@@ -1721,50 +1771,112 @@ int64_t s3_encode_block(const uint8_t* block, int64_t n, uint32_t crc,
     const int64_t n_sel = (n_mtf + 49) / 50;
     std::vector<uint8_t> sels((size_t)n_sel);
     int64_t rfreq[6][258];
+#if defined(__SSSE3__)
+    // Small alphabets (the delta-text case): materialize each 50-symbol
+    // group's frequency histogram once, then every iteration's group cost
+    // is four maddubs (u8 counts x s8 lengths) per table instead of a
+    // 50-symbol walk, and the winning table's rfreq update is alpha adds
+    // instead of 50.  Identical integer sums -> identical selectors.
+    const bool use_ghist = alpha <= 64;
+    std::vector<uint8_t> ghist;
+    if (use_ghist) {
+        ghist.assign((size_t)n_sel * 64, 0);
+        for (int64_t g = 0; g < n_sel; g++) {
+            uint8_t* h = ghist.data() + (size_t)g * 64;
+            const int64_t b = g * 50;
+            const int64_t e = b + 50 < n_mtf ? b + 50 : n_mtf;
+            for (int64_t i = b; i < e; i++) h[syms[(size_t)i]]++;
+        }
+    }
+#endif
     for (int it = 0; it < 4; it++) {
         for (int t = 0; t < n_groups; t++)
             for (int s = 0; s < alpha; s++) rfreq[t][s] = 0;
-        // transposed length table: one symbol's table costs live in one
-        // 16-byte row, and the fixed 8-lane loop below vectorizes to a
-        // single packed uint16 add per symbol (a variable n_groups bound
-        // defeats the auto-vectorizer); lanes >= n_groups accumulate
-        // zeros and are never read (the argmin scans t < n_groups)
-        uint16_t lenT[258][8];
-        for (int s = 0; s < alpha; s++) {
-            for (int t = 0; t < 8; t++)
-                lenT[s][t] = t < n_groups ? (uint16_t)len[t][s] : 0;
-        }
-        for (int64_t g = 0; g < n_sel; g++) {
-            int64_t b = g * 50;
-            int64_t e = b + 50 < n_mtf ? b + 50 : n_mtf;
-            uint16_t cost[8] = {0, 0, 0, 0, 0, 0, 0, 0};
-            for (int64_t i = b; i < e; i++) {
-                const uint16_t* lt = lenT[syms[(size_t)i]];
-                for (int t = 0; t < 8; t++) cost[t] = (uint16_t)(cost[t] + lt[t]);
+#if defined(__SSSE3__)
+        if (use_ghist) {
+            alignas(16) int8_t len8[6][64];
+            for (int t = 0; t < n_groups; t++) {
+                memset(len8[t], 0, 64);
+                for (int s = 0; s < alpha; s++) len8[t][s] = (int8_t)len[t][s];
             }
-            int best = 0;
-            for (int t = 1; t < n_groups; t++)
-                if (cost[t] < cost[best]) best = t;
-            sels[(size_t)g] = (uint8_t)best;
-            int64_t* rf = rfreq[best];
-            for (int64_t i = b; i < e; i++) rf[syms[(size_t)i]]++;
+            const __m128i ones = _mm_set1_epi16(1);
+            for (int64_t g = 0; g < n_sel; g++) {
+                const uint8_t* h = ghist.data() + (size_t)g * 64;
+                __m128i h0 = _mm_loadu_si128((const __m128i*)(h + 0));
+                __m128i h1 = _mm_loadu_si128((const __m128i*)(h + 16));
+                __m128i h2 = _mm_loadu_si128((const __m128i*)(h + 32));
+                __m128i h3 = _mm_loadu_si128((const __m128i*)(h + 48));
+                uint32_t cost[6];
+                for (int t = 0; t < n_groups; t++) {
+                    const __m128i* l = (const __m128i*)len8[t];
+                    __m128i acc = _mm_maddubs_epi16(h0, _mm_load_si128(l + 0));
+                    acc = _mm_add_epi16(
+                        acc, _mm_maddubs_epi16(h1, _mm_load_si128(l + 1)));
+                    acc = _mm_add_epi16(
+                        acc, _mm_maddubs_epi16(h2, _mm_load_si128(l + 2)));
+                    acc = _mm_add_epi16(
+                        acc, _mm_maddubs_epi16(h3, _mm_load_si128(l + 3)));
+                    // lanes sum to <= 50*17, no i16 overflow; fold to one u32
+                    __m128i s32 = _mm_madd_epi16(acc, ones);
+                    s32 = _mm_add_epi32(s32, _mm_srli_si128(s32, 8));
+                    s32 = _mm_add_epi32(s32, _mm_srli_si128(s32, 4));
+                    cost[t] = (uint32_t)_mm_cvtsi128_si32(s32);
+                }
+                int best = 0;
+                for (int t = 1; t < n_groups; t++)
+                    if (cost[t] < cost[best]) best = t;
+                sels[(size_t)g] = (uint8_t)best;
+                int64_t* rf = rfreq[best];
+                for (int s = 0; s < alpha; s++) rf[s] += h[s];
+            }
+        } else
+#endif
+        {
+            // transposed length table: one symbol's table costs live in one
+            // 16-byte row, and the fixed 8-lane loop below vectorizes to a
+            // single packed uint16 add per symbol (a variable n_groups bound
+            // defeats the auto-vectorizer); lanes >= n_groups accumulate
+            // zeros and are never read (the argmin scans t < n_groups)
+            uint16_t lenT[258][8];
+            for (int s = 0; s < alpha; s++) {
+                for (int t = 0; t < 8; t++)
+                    lenT[s][t] = t < n_groups ? (uint16_t)len[t][s] : 0;
+            }
+            for (int64_t g = 0; g < n_sel; g++) {
+                int64_t b = g * 50;
+                int64_t e = b + 50 < n_mtf ? b + 50 : n_mtf;
+                uint16_t cost[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+                for (int64_t i = b; i < e; i++) {
+                    const uint16_t* lt = lenT[syms[(size_t)i]];
+                    for (int t = 0; t < 8; t++)
+                        cost[t] = (uint16_t)(cost[t] + lt[t]);
+                }
+                int best = 0;
+                for (int t = 1; t < n_groups; t++)
+                    if (cost[t] < cost[best]) best = t;
+                sels[(size_t)g] = (uint8_t)best;
+                int64_t* rf = rfreq[best];
+                for (int64_t i = b; i < e; i++) rf[syms[(size_t)i]]++;
+            }
         }
         for (int t = 0; t < n_groups; t++)
             if (s3_make_code_lengths(rfreq[t], alpha, 17, len[t]) != 0)
                 return -1;
     }
-    // --- canonical codes --------------------------------------------------
-    int32_t codes[6][258];
+    // --- canonical codes (codeword | length<<24: one load per symbol in
+    // the emit loop below) ---------------------------------------------------
+    uint32_t codes[6][258];
     for (int t = 0; t < n_groups; t++) {
         int mn = 32, mx = 0;
         for (int s = 0; s < alpha; s++) {
             if (len[t][s] < mn) mn = len[t][s];
             if (len[t][s] > mx) mx = len[t][s];
         }
-        int32_t vec = 0;
+        uint32_t vec = 0;
         for (int l = mn; l <= mx; l++) {
             for (int s = 0; s < alpha; s++)
-                if (len[t][s] == l) codes[t][s] = vec++;
+                if (len[t][s] == l)
+                    codes[t][s] = vec++ | ((uint32_t)l << 24);
             vec <<= 1;
         }
     }
@@ -1822,12 +1934,12 @@ int64_t s3_encode_block(const uint8_t* block, int64_t n, uint32_t crc,
     }
     // coded data
     for (int64_t g = 0; g < n_sel; g++) {
-        const int t = sels[(size_t)g];
+        const uint32_t* ct = codes[sels[(size_t)g]];
         const int64_t b = g * 50;
         const int64_t e = b + 50 < n_mtf ? b + 50 : n_mtf;
         for (int64_t i = b; i < e; i++) {
-            uint16_t s = syms[(size_t)i];
-            bw.put((uint64_t)codes[t][s], len[t][s]);
+            uint32_t cl = ct[syms[(size_t)i]];
+            bw.put(cl & 0xffffff, (int)(cl >> 24));
         }
     }
     if (!bw.ok) return -1;
