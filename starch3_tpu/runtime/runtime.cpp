@@ -585,10 +585,19 @@ static void sais_core(const P* p, int32_t* sa, int64_t n, int32_t K) {
 struct RotPair;
 
 struct RotCtx {
-    const uint8_t* db;  // doubled block (2n + 8 bytes; 8-byte periodic pad)
+    const uint8_t* db;  // doubled block (2n + 16 bytes; periodic pad)
     int64_t n;
     int64_t budget;     // comparison budget; <0 -> give up
     RotPair* scratch;   // n entries; bucket [lo,hi) uses scratch[lo,hi)
+    // packed nibbles when the alphabet fits 4 bits (delta text is ~14
+    // distinct bytes): nib[j] = rank(db[2j])<<4 | rank(db[2j+1]).  A key
+    // gather becomes one unaligned 8-byte load (+1 byte for odd phase)
+    // from an n-sized, cache-resident array and resolves 16 input bytes
+    // instead of 8, halving the random-access rounds of the depth
+    // recursion.  The rank map is monotone in byte value, so uint64
+    // order == byte order.
+    const uint8_t* nib = nullptr;  // (2n+16)/2 entries, or null (byte keys)
+    int step = 8;                  // bytes resolved per gathered key
 };
 
 // 8 bytes of the rotation starting at `a`, from byte `depth` on, as a
@@ -732,10 +741,28 @@ static void rot_mkqs(RotCtx& cx, int32_t* ptr, int64_t lo, int64_t hi,
         }
         RotPair* pr = cx.scratch + lo;
         const int64_t m = hi - lo;
-        for (int64_t i = 0; i < m; i++) {
-            if (i + 16 < m)  // gather is the miss-bound loop: prefetch ahead
-                __builtin_prefetch(cx.db + ptr[lo + i + 16] + depth);
-            pr[i] = RotPair{rot_key(cx, ptr[lo + i], depth), ptr[lo + i]};
+        if (cx.nib) {
+            for (int64_t i = 0; i < m; i++) {
+                if (i + 16 < m)  // gather is the miss-bound loop
+                    __builtin_prefetch(cx.nib + ((ptr[lo + i + 16] + depth) >> 1));
+                const int64_t a = ptr[lo + i] + depth;
+                uint64_t w;
+                memcpy(&w, cx.nib + (a >> 1), 8);
+#if !defined(__BYTE_ORDER__) || __BYTE_ORDER__ != __ORDER_BIG_ENDIAN__
+                w = __builtin_bswap64(w);
+#endif
+                // odd phase: shift in the next byte's top nibble
+                const uint64_t odd = (uint64_t)(a & 1);
+                w = (w << (odd << 2)) |
+                    (((uint64_t)(cx.nib[(a >> 1) + 8] >> 4)) & (0ULL - odd));
+                pr[i] = RotPair{w, ptr[lo + i]};
+            }
+        } else {
+            for (int64_t i = 0; i < m; i++) {
+                if (i + 16 < m)
+                    __builtin_prefetch(cx.db + ptr[lo + i + 16] + depth);
+                pr[i] = RotPair{rot_key(cx, ptr[lo + i], depth), ptr[lo + i]};
+            }
         }
         rp_radix(pr, m, 56);
         cx.budget -= m;
@@ -745,13 +772,14 @@ static void rot_mkqs(RotCtx& cx, int32_t* ptr, int64_t lo, int64_t hi,
         for (int64_t i = 1; i < m; i++) {
             ptr[lo + i - 1] = pr[i - 1].idx;
             if (pr[i].key != pr[i - 1].key) {
-                if (i - rs > 1) rot_mkqs(cx, ptr, lo + rs, lo + i, depth + 8);
+                if (i - rs > 1)
+                    rot_mkqs(cx, ptr, lo + rs, lo + i, depth + cx.step);
                 rs = i;
             }
         }
         ptr[hi - 1] = pr[m - 1].idx;
         lo = lo + rs;
-        depth += 8;
+        depth += cx.step;
     }
 }
 
@@ -764,10 +792,10 @@ static bool rot_sort(const uint8_t* block, int64_t n, int32_t* ptr) {
     // and provably correct — so gate on the KMP smallest period.
     // doubled block + 8 wraparound bytes so 8-byte word loads at any
     // (start < n, depth < n) stay in bounds (rot_key)
-    std::vector<uint8_t> dbv((size_t)(2 * n + 8));
+    std::vector<uint8_t> dbv((size_t)(2 * n + 16));
     memcpy(dbv.data(), block, (size_t)n);
     memcpy(dbv.data() + n, block, (size_t)n);
-    memcpy(dbv.data() + 2 * n, block, 8);  // n >= 16 on this path
+    memcpy(dbv.data() + 2 * n, block, 16);  // n >= 16 on this path
     const uint8_t* db = dbv.data();
     // 2-byte histogram
     std::vector<int64_t> ftab(65537, 0);
@@ -782,12 +810,14 @@ static bool rot_sort(const uint8_t* block, int64_t n, int32_t* ptr) {
     // repetitions of a period has every byte count divisible by r, so if
     // the gcd of the byte counts is 1 the block cannot be periodic and
     // the O(n) substring scan is skipped (the common case on real text).
+    int64_t counts[256];
     {
         int64_t g = 0;
-        for (int c = 0; c < 256 && g != 1; c++) {
+        for (int c = 0; c < 256; c++) {
             int64_t cnt = 0;
             const int64_t* row = ftab.data() + ((int64_t)c << 8);
             for (int j = 0; j < 256; j++) cnt += row[j];
+            counts[c] = cnt;
             while (cnt) {
                 int64_t t = g % cnt;
                 g = cnt;
@@ -811,6 +841,25 @@ static bool rot_sort(const uint8_t* block, int64_t n, int32_t* ptr) {
     }
     std::vector<RotPair> scratch((size_t)n);
     RotCtx cx{db, n, 12 * n + 65536, scratch.data()};
+    // nibble-packed 16-byte keys (see RotCtx::nib) when the alphabet fits
+    std::vector<uint8_t> nibv;
+    {
+        uint8_t rank[256];
+        int n_in_use = 0;
+        for (int c = 0; c < 256; c++)
+            if (counts[c]) rank[c] = (uint8_t)n_in_use++;
+        if (n_in_use <= 16) {
+            // pack the doubled buffer two ranks per byte; +16 tail bytes so
+            // the 8-byte load + odd-phase byte at any a <= 2n-2 is in bounds
+            const int64_t nn = (2 * n + 16 + 1) / 2 + 9;
+            nibv.resize((size_t)nn, 0);
+            uint8_t* nb = nibv.data();
+            for (int64_t j = 0; j + 1 < 2 * n + 16; j += 2)
+                nb[j >> 1] = (uint8_t)((rank[db[j]] << 4) | rank[db[j + 1]]);
+            cx.nib = nb;
+            cx.step = 16;
+        }
+    }
     // process major buckets smallest-total first
     int order[256];
     {
