@@ -1,0 +1,141 @@
+"""One-sort BWT fast path: packed multi-symbol keys + tie detection.
+
+The measured cost model on this TPU (benchmarks/profile_sort.py,
+benchmarks/profile_prims.py) is blunt: one big `lax.sort` costs ~2.3 ms
+marginal per 1M rows *per operand pair*, and everything that moves data
+randomly (gather, scatter, searchsorted) costs 3-10x a sort pass, while
+a whole extra jit dispatch has a ~2.6 ms floor.  Prefix doubling
+(ops/bwt_jax.py) pays 2 sorts per round x O(log n) rounds; on real
+Starch-transformed BED text that is wildly pessimistic, because the
+text is near-unique at short context lengths.  Measured on the bench
+corpus blocks (alphabet of 13 symbols: digits, newline, 'p', '-'):
+
+    context m=14 symbols -> 0.04% of rotations still tied
+    context m=24 symbols -> 0 tied (all 24 whole-genome blocks)
+
+So the fast path sorts ALL rotations once, by their first m symbols
+packed into 3-4 uint32 keys (m = 24 at 4 bits/symbol, 16 at 8 bits),
+carrying the previous symbol as the only payload: when no two rotations
+tie on the m-symbol prefix, the sorted payload IS the BWT last column,
+and ``orig_ptr`` is a vectorized comparison count.  Blocks with ties
+(periodic or highly repetitive inputs) are detected on device and
+re-encoded through a proven exact path by the caller (host SA-IS, or
+ops/bwt_jax.py prefix doubling) — correctness never rides the heuristic.
+
+Reference behavior spec: the bundled bzip2's blocksort.c:1-1094 (via
+/root/reference third-party tarball) — lexicographic order of all cyclic
+rotations.  This file replaces its cache-tuned sequential method with a
+single fixed-shape device sort, which is the TPU-native formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# all-ones uint32: padded rows sort to the tail (plain numpy scalar — a
+# module-level jnp constant would live on the device and stall MLIR
+# constant embedding on remote-tunnel backends)
+_BIGU = np.uint32(0xFFFFFFFF)
+
+
+def _cyclic_shift(seq: jax.Array, k: jax.Array, n: jax.Array, idx: jax.Array):
+    """seq[(i + k) mod n] for 0 <= k < n over the valid prefix.
+
+    Two contiguous rolls + a select: measured ~2x cheaper than a gather
+    on TPU (ops/bwt_jax.py round_body carries the same note).
+    """
+    lo = jnp.roll(seq, -k)
+    hi = jnp.roll(seq, n - k)
+    return jnp.where(idx + k < n, lo, hi)
+
+
+def key_params(bits: int) -> tuple[int, int]:
+    """(n_keys, symbols_per_key) for a packed-prefix sort at ``bits``."""
+    if bits == 4:
+        return 3, 8  # 24 symbols of context
+    if bits == 8:
+        return 4, 4  # 16 symbols of context
+    raise ValueError("bits must be 4 or 8")
+
+
+@functools.partial(jax.jit, static_argnames=("n_max", "bits"))
+def bwt_sort_fast(seq: jax.Array, n: jax.Array, n_max: int, bits: int = 4):
+    """Sort all cyclic rotations by their packed m-symbol prefix.
+
+    Args:
+      seq: int32[n_max] dense symbols < 2**bits (entries past ``n`` are
+        ignored; they may hold anything)
+      n: int32 scalar, true length (1 <= n <= n_max)
+      n_max: static padded size
+      bits: static bits per symbol (4 when the dense alphabet fits 16
+        symbols, else 8)
+    Returns:
+      last: int32[n_max] candidate BWT last column (dense symbols; valid
+        prefix of length n, correct iff ties == 0)
+      orig_ptr: int32 scalar, sorted position of rotation 0 (iff ties == 0)
+      ties: int32 scalar, number of adjacent sorted rotations whose
+        m-symbol prefixes collide (0 = the fast path is exact)
+    """
+    n_keys, spk = key_params(bits)
+
+    idx = jnp.arange(n_max, dtype=jnp.int32)
+    valid = idx < n
+    seq = jnp.where(valid, seq, 0)
+
+    keys = []
+    off = jnp.int32(0)
+    for _ in range(n_keys):
+        acc = jnp.zeros(n_max, dtype=jnp.uint32)
+        for _ in range(spk):
+            k = jnp.where(off >= n, off % jnp.maximum(n, 1), off)
+            acc = (acc << bits) | _cyclic_shift(seq, k, n, idx).astype(jnp.uint32)
+            off = off + 1
+        keys.append(jnp.where(valid, acc, _BIGU))
+
+    # previous symbol seq[(i - 1) mod n]: the BWT last-column payload
+    nm1 = jnp.maximum(n - 1, 0)
+    bp = _cyclic_shift(seq, nm1, n, idx)
+
+    sorted_ops = jax.lax.sort((*keys, bp), num_keys=n_keys, is_stable=False)
+    last = sorted_ops[-1]
+
+    # adjacent prefix collisions among the valid prefix
+    eq = jnp.ones(n_max - 1, dtype=bool)
+    for ks in sorted_ops[:n_keys]:
+        eq = eq & (ks[1:] == ks[:-1])
+    eq = eq & (jnp.arange(n_max - 1, dtype=jnp.int32) < n - 1)
+    ties = eq.sum().astype(jnp.int32)
+
+    # orig_ptr as a comparison count: rotations strictly below rotation 0
+    # in the packed-prefix order (exact when ties == 0; tie blocks are
+    # discarded by the caller, so no claim is made there)
+    lt = jnp.zeros(n_max, dtype=bool)
+    ge = jnp.ones(n_max, dtype=bool)  # "equal so far" running flag
+    for kk in keys:
+        k0 = kk[0]
+        lt = lt | (ge & (kk < k0))
+        ge = ge & (kk == k0)
+    orig_ptr = jnp.sum(lt & valid).astype(jnp.int32)
+    return last, orig_ptr, ties
+
+
+def bwt_fast_host(block_np: np.ndarray):
+    """Host-convenience wrapper over raw bytes (tests): dense-remaps,
+    picks the bit width, returns (last bytes, orig_ptr, ties)."""
+    n = int(block_np.size)
+    used = np.zeros(256, dtype=bool)
+    used[np.unique(block_np)] = True
+    u2s = np.cumsum(used) - 1
+    seq = u2s[block_np].astype(np.int32)
+    n_sym = int(used.sum())
+    bits = 4 if n_sym <= 16 else 8
+    n_max = max(128, 1 << (n - 1).bit_length())
+    padded = np.zeros(n_max, dtype=np.int32)
+    padded[:n] = seq
+    last, ptr, ties = bwt_sort_fast(jnp.asarray(padded), jnp.int32(n), n_max, bits)
+    s2u = np.flatnonzero(used).astype(np.uint8)
+    return s2u[np.asarray(last)[:n]], int(ptr), int(ties)

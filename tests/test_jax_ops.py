@@ -44,6 +44,74 @@ class TestBwtJax:
         assert l1.tolist() == l2.tolist() and p1 == p2
 
 
+class TestBwtFast:
+    """One-sort packed-prefix BWT (ops/bwt_fast.py): must equal the oracle
+    whenever it reports ties == 0, and must report ties on inputs where
+    the m-symbol prefix is not a total order."""
+
+    @pytest.mark.parametrize("n", [1, 2, 33, 512, 3000])
+    def test_matches_oracle_random_bytes(self, rng, n):
+        from starch3_tpu.ops.bwt_fast import bwt_fast_host
+
+        blk = rng.integers(0, 256, n, dtype=np.uint8)
+        last, ptr, ties = bwt_fast_host(blk)
+        if ties == 0:
+            l1, p1 = bwt_encode(blk)
+            assert last.tolist() == l1.tolist() and ptr == p1
+
+    @pytest.mark.parametrize("sigma", [2, 10, 16])
+    def test_matches_oracle_small_alphabet(self, rng, sigma):
+        from starch3_tpu.ops.bwt_fast import bwt_fast_host
+
+        blk = rng.integers(48, 48 + sigma, 4096, dtype=np.uint8)
+        last, ptr, ties = bwt_fast_host(blk)
+        if ties == 0:
+            l1, p1 = bwt_encode(blk)
+            assert last.tolist() == l1.tolist() and ptr == p1
+
+    def test_real_transform_text_is_tie_free_and_exact(self, rng):
+        from starch3_tpu.api import _parse_transform
+        from starch3_tpu.ops.bwt_fast import bwt_fast_host
+
+        text = _parse_transform(make_bed_text(rng, n=3000))[0].text
+        blk = np.frombuffer(text, dtype=np.uint8)
+        last, ptr, ties = bwt_fast_host(blk)
+        assert ties == 0  # delta text is near-unique at 24 symbols
+        l1, p1 = bwt_encode(blk)
+        assert last.tolist() == l1.tolist() and ptr == p1
+
+    def test_periodic_input_reports_ties(self):
+        from starch3_tpu.ops.bwt_fast import bwt_fast_host
+
+        blk = np.frombuffer(b"1723\n481\np100\n" * 40, dtype=np.uint8)
+        _, _, ties = bwt_fast_host(blk.copy())
+        assert ties > 0  # repeats longer than the packed prefix
+
+    def test_all_equal_reports_ties(self):
+        from starch3_tpu.ops.bwt_fast import bwt_fast_host
+
+        _, _, ties = bwt_fast_host(np.full(100, 97, dtype=np.uint8))
+        assert ties > 0
+
+    def test_padding_is_inert(self, rng):
+        import jax.numpy as jnp
+
+        from starch3_tpu.ops.bwt_fast import bwt_sort_fast
+
+        seq = rng.integers(0, 13, 700).astype(np.int32)
+        outs = []
+        for n_max in (1024, 2048):
+            padded = np.zeros(n_max, dtype=np.int32)
+            padded[:700] = seq
+            # poison the pad region: results must not change
+            padded[700:] = 15
+            last, ptr, ties = bwt_sort_fast(
+                jnp.asarray(padded), jnp.int32(700), n_max, 4
+            )
+            outs.append((np.asarray(last)[:700].tolist(), int(ptr), int(ties)))
+        assert outs[0] == outs[1]
+
+
 class TestMtfJax:
     @pytest.mark.parametrize("n", [1, 100, 4096, 5000])
     def test_matches_oracle(self, rng, n):
