@@ -50,6 +50,7 @@ def _compress_stream_ex(
                 level=config.block_size_100k,
                 batch_size=config.blocks_per_batch,
                 device_rle2=getattr(config, "device_rle2", False),
+                fast_bwt=getattr(config, "fast_bwt", True),
             )[0]
         else:
             from starch3_tpu.codec.encoder import bz2_compress_ex
@@ -213,6 +214,7 @@ def compress_bed_bytes(data: bytes, config: EncodeConfig | None = None) -> bytes
                 level=config.block_size_100k,
                 batch_size=config.blocks_per_batch,
                 device_rle2=config.device_rle2,
+                fast_bwt=config.fast_bwt,
             )
         elif config.method is CompressionMethod.BZIP2 and transformed:
             # host path: shared thread pool over every stream's blocks

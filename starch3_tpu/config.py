@@ -63,6 +63,13 @@ class EncodeConfig:
     #: Default off: it lengthens the device program's one-time compile,
     #: which dominates short runs on tunneled backends
     device_rle2: bool = False
+    #: sort every rotation once by a packed multi-symbol prefix key
+    #: (ops/bwt_fast.py) instead of prefix-doubling, falling back to the
+    #: exact host encoder for the rare blocks whose prefixes tie (the
+    #: fallback is detected on device, so output bytes never depend on
+    #: this flag).  This is the production device path; False forces the
+    #: exact prefix-doubling kernel everywhere (tests, worst-case inputs)
+    fast_bwt: bool = True
 
     def __post_init__(self) -> None:
         if not 1 <= self.block_size_100k <= 9:

@@ -36,31 +36,6 @@ from starch3_tpu.codec.rle1 import rle1_split_blocks
 N_MAX_BLOCK = 901_120
 
 
-@functools.lru_cache(maxsize=8)
-def _jitted_device_step(n_max: int):
-    """Batched (vmapped) BWT-sort step, jitted once per geometry."""
-    import jax
-
-    from starch3_tpu.ops.bwt_jax import bwt_encode_padded
-
-    def step(blocks, lens):
-        return jax.vmap(lambda b, n: bwt_encode_padded(b, n, n_max))(blocks, lens)
-
-    return jax.jit(step)
-
-
-@functools.lru_cache(maxsize=8)
-def _jitted_mtf_step(n_max: int):
-    import jax
-
-    from starch3_tpu.ops.mtf_jax import mtf_ranks_padded
-
-    def step(seqs, lens):
-        return jax.vmap(lambda s, n: mtf_ranks_padded(s, n, n_max))(seqs, lens)
-
-    return jax.jit(step)
-
-
 def _use_pallas_mtf(mesh) -> bool:
     """Pallas MTF on a directly-programmed TPU (measured ~2.5x the XLA
     scan's compute at 901k); the XLA formulation stays the choice under
@@ -89,21 +64,18 @@ def _bwt_remap(block, n, n_max):
 
 
 def _batch_ranks(seqs, lens, n_max, pallas_mtf):
-    """Batched MTF ranks.  The Pallas kernel is 1-D and cannot be vmapped
-    (TPU block-shape constraints on the synthesized batch dim), so the
-    batch unrolls into per-row kernel launches inside the same jit —
-    batch sizes are static and small (blocks_per_batch)."""
+    """Batched MTF ranks: one (batch, tile)-grid Pallas call, or the XLA
+    scan formulation where the kernel isn't available (CPU backends,
+    mesh-sharded dispatch)."""
     import jax
     import jax.numpy as jnp
 
     from starch3_tpu.ops.mtf_jax import mtf_ranks_padded
 
     if pallas_mtf:
-        from starch3_tpu.ops.mtf_pallas import mtf_ranks_pallas
+        from starch3_tpu.ops.mtf_pallas import mtf_ranks_pallas_batch
 
-        ranks = jnp.stack(
-            [mtf_ranks_pallas(seqs[i], n_max) for i in range(seqs.shape[0])]
-        )
+        ranks = mtf_ranks_pallas_batch(seqs, n_max)
         idx = jnp.arange(n_max, dtype=jnp.int32)
         return jnp.where(idx[None, :] < lens[:, None], ranks, 0)
     return jax.vmap(lambda s, n: mtf_ranks_padded(s, n, n_max))(seqs, lens)
@@ -139,6 +111,45 @@ def _jitted_fused_step(n_max: int, pallas_mtf: bool = False):
         )(blocks, lens)
         ranks = _batch_ranks(seqs, lens, n_max, pallas_mtf)
         return jax.vmap(pack_one)(ptrs, useds, ranks)
+
+    return jax.jit(step)
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_fused_step_fast(n_max: int, bits: int, pallas_mtf: bool = False):
+    """One-sort BWT (ops/bwt_fast.py) -> MTF -> RLE2, one dispatch.
+
+    The production device step: rotations are sorted once by a packed
+    multi-symbol prefix key instead of O(log n) doubling rounds; the
+    per-block ``ties`` scalar travels home with the results so the host
+    can re-encode the rare ambiguous blocks through the exact path.
+    Inputs are host-side dense-remapped symbols (uint8) so the key pack
+    width (``bits``) is static and the used-byte map never needs to be
+    recovered on device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from starch3_tpu.ops.bwt_fast import bwt_sort_fast
+    from starch3_tpu.ops.rle2_jax import rle2_from_ranks_padded
+
+    n_pairs = (n_max + 2 + 1) // 2
+
+    def tail_one(ptr, ties, ranks, n, n_sym):
+        syms, m, freq = rle2_from_ranks_padded(ranks, n, n_sym, n_max)
+        sp = jnp.concatenate([syms, jnp.zeros(n_pairs * 2 - syms.size, jnp.int32)])
+        sp = sp.reshape(n_pairs, 2)
+        packed = sp[:, 0] | (sp[:, 1] << 16)
+        return jnp.concatenate(
+            [ptr[None], m[None], ties[None], freq, packed]
+        )
+
+    def step(seqs, lens, nsyms):
+        lasts, ptrs, ties = jax.vmap(
+            lambda s, n: bwt_sort_fast(s.astype(jnp.int32), n, n_max, bits)
+        )(seqs, lens)
+        ranks = _batch_ranks(lasts, lens, n_max, pallas_mtf)
+        return jax.vmap(tail_one)(ptrs, ties, ranks, lens, nsyms)
 
     return jax.jit(step)
 
@@ -260,6 +271,7 @@ def encode_streams(
     mesh=None,
     batch_size: int = 8,
     device_rle2: bool = False,
+    fast_bwt: bool = True,
 ) -> list:  # list[codec.encoder.EncodedStream]
     """Compress many independent streams with one global device queue.
 
@@ -268,7 +280,12 @@ def encode_streams(
     stream in order — so 24 chromosomes with one block each cost ~3
     device dispatches, not 24 (the cross-stream analogue of the
     reference's single-stream sequential loop).
+
+    ``fast_bwt`` (default) sorts rotations once by packed prefix keys and
+    re-encodes tie-flagged blocks on the host — output bytes are identical
+    either way.  ``device_rle2`` only matters when ``fast_bwt`` is False.
     """
+    mode = "fast" if fast_bwt else ("rle2" if device_rle2 else "ranks")
     per_stream_blocks = [rle1_split_blocks(t, level) for t in texts]
     flat: list[tuple[int, int]] = []  # (stream_idx, block_idx)
     for si, blocks in enumerate(per_stream_blocks):
@@ -287,15 +304,15 @@ def encode_streams(
             chunk = items[lo : lo + batch_size]
             datas = [per_stream_blocks[si][bi].data for si, bi in chunk]
             pending.append(
-                (chunk, *_dispatch_chunk(datas, n_max, mesh, device_rle2))
+                (chunk, _dispatch_chunk(datas, n_max, mesh, mode))
             )
             if len(pending) > 1:
                 _drain_into(
-                    results, per_stream_blocks, pending.pop(0), n_max, device_rle2
+                    results, per_stream_blocks, pending.pop(0), n_max, mode
                 )
         while pending:
             _drain_into(
-                results, per_stream_blocks, pending.pop(0), n_max, device_rle2
+                results, per_stream_blocks, pending.pop(0), n_max, mode
             )
 
     streams = []
@@ -311,7 +328,9 @@ def encode_streams(
             offsets.append(bw.bit_length)
             crcs.append(blk.crc)
             combined = combine_block_crc(combined, blk.crc)
-            if len(res) == 4:  # device-RLE2: (used, ptr, symbols, freq)
+            if isinstance(res, BitWriter):  # host fallback fragment
+                bw.append_writer(res)
+            elif len(res) == 4:  # device-RLE2: (used, ptr, symbols, freq)
                 in_use, ptr, syms, freq = res
                 write_block_from_device_syms(bw, blk.crc, ptr, syms, freq, in_use)
             else:
@@ -332,15 +351,46 @@ def encode_streams(
     return streams
 
 
-def _drain_into(results, per_stream_blocks, item, n_max, device_rle2=False):
-    chunk, out_d, lens, b = item
+def _drain_into(results, per_stream_blocks, item, n_max, mode="ranks"):
+    chunk, (out_d, aux) = item
+    if mode == "fast":
+        unpacked = _unpack_results_fast(out_d, aux["b"])
+        for (si, bi), used, (ptr, m, ties, syms, freq) in zip(
+            chunk, aux["useds"], unpacked
+        ):
+            if ties == 0:
+                results[(si, bi)] = (used, ptr, syms, freq)
+            else:
+                # ambiguous prefix order: re-encode exactly on the host
+                # (rare: periodic/highly repetitive blocks only)
+                from starch3_tpu.codec.encoder import encode_block_fragment
+
+                results[(si, bi)] = encode_block_fragment(
+                    per_stream_blocks[si][bi]
+                )
+        return
     unpacked = (
-        _unpack_results_rle2(out_d, b)
-        if device_rle2
-        else _unpack_results(out_d, lens, b, n_max)
+        _unpack_results_rle2(out_d, aux["b"])
+        if mode == "rle2"
+        else _unpack_results(out_d, aux["lens"], aux["b"], n_max)
     )
     for (si, bi), res in zip(chunk, unpacked):
         results[(si, bi)] = res
+
+
+def _unpack_results_fast(out_d, b):
+    out = np.asarray(out_d)  # one transfer for the whole batch
+    res = []
+    for i in range(b):
+        row = out[i]
+        ptr, m, ties = int(row[0]), int(row[1]), int(row[2])
+        freq = row[3:263]
+        packed = row[263:]
+        syms = np.empty(packed.size * 2, dtype=np.int32)
+        syms[0::2] = packed & 0xFFFF
+        syms[1::2] = (packed >> 16) & 0xFFFF
+        res.append((ptr, m, ties, syms[:m], freq))
+    return res
 
 
 def jax_bz2_compress(data: bytes, config=None, mesh=None, n_max: int | None = None) -> bytes:
@@ -353,10 +403,11 @@ def jax_bz2_compress(data: bytes, config=None, mesh=None, n_max: int | None = No
         mesh=mesh,
         batch_size=batch_size,
         device_rle2=getattr(config, "device_rle2", False),
+        fast_bwt=getattr(config, "fast_bwt", True),
     )[0].data
 
 
-def _dispatch_chunk(block_datas, n_max, mesh, device_rle2=False):
+def _dispatch_chunk(block_datas, n_max, mesh, mode="ranks"):
     """Upload + launch one batch asynchronously; returns device handles."""
     import jax
     import jax.numpy as jnp
@@ -368,32 +419,55 @@ def _dispatch_chunk(block_datas, n_max, mesh, device_rle2=False):
     b_pad = pad_batch(b, n_dev)
     lens = np.ones(b_pad, dtype=np.int32)
     batch = np.zeros((b_pad, n_max), dtype=np.uint8)
+    pallas_mtf = _use_pallas_mtf(mesh)
+
+    if mode == "fast":
+        nsyms = np.ones(b_pad, dtype=np.int32)
+        useds = []
+        for i, data in enumerate(block_datas):
+            arr = np.frombuffer(data, dtype=np.uint8)
+            if arr.size > n_max:
+                raise ValueError(f"block {i} exceeds n_max ({arr.size} > {n_max})")
+            used = np.bincount(arr, minlength=256) > 0
+            u2s = (np.cumsum(used) - 1).astype(np.uint8)
+            batch[i, : arr.size] = u2s[arr]
+            lens[i] = arr.size
+            nsyms[i] = int(used.sum())
+            useds.append(used)
+        # key pack width: 4 bits buys 24 symbols of sort context (dense
+        # alphabet <= 16, the common case for transformed BED), 8 bits
+        # handles any byte content at 16 symbols of context
+        bits = 4 if nsyms[:b].max() <= 16 else 8
+        arrays = _put_batch((batch, lens, nsyms), mesh)
+        out_d = _jitted_fused_step_fast(n_max, bits, pallas_mtf)(*arrays)
+        return out_d, {"b": b, "useds": useds}
+
     for i, data in enumerate(block_datas):
         arr = np.frombuffer(data, dtype=np.uint8)
+        if arr.size > n_max:
+            raise ValueError(f"block {i} exceeds n_max ({arr.size} > {n_max})")
         batch[i, : arr.size] = arr
         lens[i] = arr.size
-    if mesh is not None:
-        sharding = block_sharding(mesh)
-        batch_d = jax.device_put(jnp.asarray(batch), sharding)
-        lens_d = jax.device_put(jnp.asarray(lens), sharding)
-    else:
-        batch_d, lens_d = jnp.asarray(batch), jnp.asarray(lens)
-    pallas_mtf = _use_pallas_mtf(mesh)
+    batch_d, lens_d = _put_batch((batch, lens), mesh)
     step = (
         _jitted_fused_step_rle2(n_max, pallas_mtf)
-        if device_rle2
+        if mode == "rle2"
         else _jitted_fused_step(n_max, pallas_mtf)
     )
-    return step(batch_d, lens_d), lens, b
+    return step(batch_d, lens_d), {"b": b, "lens": lens}
 
 
-def _drain_one(bw, item, combined, n_max):
-    chunk, out_d, lens, b = item
-    results = _unpack_results(out_d, lens, b, n_max)
-    for blk, (in_use, ptr, ranks) in zip(chunk, results):
-        combined = combine_block_crc(combined, blk.crc)
-        write_block_from_ranks(bw, blk.crc, ptr, ranks, in_use)
-    return combined
+def _put_batch(arrays, mesh):
+    """Upload a tuple of batch-leading arrays, sharded when meshed."""
+    import jax
+    import jax.numpy as jnp
+
+    from starch3_tpu.parallel.mesh import block_sharding
+
+    if mesh is not None:
+        sharding = block_sharding(mesh)
+        return tuple(jax.device_put(jnp.asarray(a), sharding) for a in arrays)
+    return tuple(jnp.asarray(a) for a in arrays)
 
 
 # ---------------------------------------------------------------------------
