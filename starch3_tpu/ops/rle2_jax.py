@@ -6,20 +6,33 @@ after this stage the only host work left is the 258-node Huffman length
 heap (host by design — its observable tie-breaking is sequential) and
 stream splicing.
 
-Fixed-shape formulation of codec/mtf.py mtf_rle2_from_ranks (behavioral
-spec + host oracle): zero runs become bijective-base-2 RUNA/RUNB digits
-(z+1's binary digits, MSB dropped, LSB-first), rank j -> symbol j+1,
-EOB = n_in_use+1 appended.  All steps are cumsum/scatter/gather over
-padded arrays:
+Behavioral spec + host oracle: codec/mtf.py mtf_rle2_from_ranks — zero
+runs become bijective-base-2 RUNA/RUNB digits (z+1's binary digits, MSB
+dropped, LSB-first), rank j -> symbol j+1, EOB = n_in_use+1 appended.
 
-  - nonzero compaction: target index = cumsum(nonzero) - 1, one scatter;
-  - run lengths: gaps between consecutive nonzero positions;
-  - digit counts: exact integer bit lengths via a static shift loop
-    (float32 log2 is inexact at powers of two on TPU);
-  - output offsets: exclusive cumsum of (digits + 1) chunk lengths;
-  - digit placement: a static 21-step loop (2^21 > max block size), each
-    step scattering digit k of every still-active run;
-  - frequencies: scatter-add of ones over the symbol stream.
+Formulation (v2, scatter-minimal — the v1 kernel's 21 digit-plane
+scatters cost ~140 ms per 900 kB block on TPU, where a scatter pass is
+~3x a sort pass; see benchmarks/profile_prims.py):
+
+  every OUTPUT symbol is pinned to a distinct INPUT position.  A run of
+  z zeros emits dig = bitlen(z+1)-1 <= z digits, so digit r of a run
+  rides the run's r-th zero; a nonzero rank's symbol rides its own
+  position; digits precede their symbol in both input and output order.
+  Per-position quantities are two scans plus elementwise math:
+
+    run_start  = inclusive cummax of nonzero positions   (last nz <= i)
+    next_nz    = reverse cummin of nonzero positions      (first nz >= i)
+    r          = i - run_start - 1        (zero's index within its run)
+    z_total    = next_nz - run_start - 1  (the run's full length)
+    dig        = 31 - clz(z_total + 1) - 0  (exact integer bit length)
+    emit       = nonzero | (r < dig)
+    value      = nonzero ? rank + 1 : (z_total + 1 >> r) & 1
+    out_idx    = cumsum(emit) - 1
+
+  and ONE scatter compacts (out_idx, value).  The EOB symbol needs no
+  write at all: the output is padded with EOB, so slot m-1 already
+  holds it.  RUNA/RUNB frequencies are two masked sums; only the
+  rank histogram remains a scatter-add.
 
 Outputs are padded to ``n_max + 2`` with the true length as a scalar.
 """
@@ -30,9 +43,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-_MAX_DIGITS = 21  # bijective-base-2 digits of runs < 2^21 (block <= 901k)
+_NEG1 = -1
 
 
 @functools.partial(jax.jit, static_argnames=("n_max",))
@@ -54,60 +66,43 @@ def rle2_from_ranks_padded(
     idx = jnp.arange(n_max, dtype=jnp.int32)
     valid = idx < n
     nz = valid & (ranks != 0)
-    # compact nonzero positions: pos_nz[t] = index of t-th nonzero
-    tgt = jnp.cumsum(nz.astype(jnp.int32)) - 1
-    n_nz = tgt[-1] + 1  # cumsum-1 is -1 when there are no nonzeros
-    pos_nz = jnp.full(n_max + 1, -1, dtype=jnp.int32)
-    pos_nz = pos_nz.at[jnp.where(nz, tgt, n_max)].set(
-        jnp.where(nz, idx, -1), mode="drop"
-    )
-    vals_nz = jnp.zeros(n_max + 1, dtype=jnp.int32)
-    vals_nz = vals_nz.at[jnp.where(nz, tgt, n_max)].set(
-        jnp.where(nz, ranks + 1, 0), mode="drop"
-    )
 
-    # run of zeros before each nonzero, plus the tail run before EOB.
-    # runs[t] for t < n_nz: pos_nz[t] - pos_nz[t-1] - 1 (pos_nz[-1]=-1);
-    # runs[n_nz] (tail): n - last_nz - 1, or n when there are no nonzeros
-    t_idx = jnp.arange(n_max + 1, dtype=jnp.int32)
-    prev = jnp.where(t_idx == 0, -1, pos_nz[jnp.maximum(t_idx - 1, 0)])
-    last_nz = jnp.where(n_nz > 0, pos_nz[jnp.maximum(n_nz - 1, 0)], -1)
-    runs = jnp.where(
-        t_idx < n_nz,
-        pos_nz - prev - 1,
-        jnp.where(t_idx == n_nz, n - last_nz - 1, 0),
-    )
-    live = t_idx <= n_nz  # chunks: one per nonzero + the EOB chunk
+    # last nonzero at or before i (== strictly before for zero positions,
+    # which are the only consumers); -1 when none
+    run_start = jax.lax.cummax(jnp.where(nz, idx, _NEG1))
+    # first nonzero at or after i; n when none (the tail run ends at the
+    # virtual EOB chunk).  Reverse-scan as flip+cummin+flip: flips are
+    # contiguous moves, far cheaper than gathers on TPU.
+    next_nz = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(nz, idx, n))))
 
-    # digit counts d(z) = bit_length(z+1) - 1, computed with exact
-    # integer shifts: TPU float32 log2 is inexact at powers of two
-    # (log2(32768.f) = 14.999999 -> off-by-one digit, corrupt stream);
-    # the host oracle (codec/mtf.py) carries the same warning
-    mvals = runs + 1
-    dig = jnp.zeros_like(runs)
-    for k in range(_MAX_DIGITS):
-        dig = dig + ((mvals >> k) >= 2).astype(jnp.int32)
-    chunk_lens = jnp.where(live, dig + 1, 0)  # digits + (symbol | EOB)
-    ends = jnp.cumsum(chunk_lens)
-    offsets = ends - chunk_lens
-    m = ends[-1]
+    r = idx - run_start - 1  # zero's index within its run
+    z_total = next_nz - run_start - 1  # the run's full zero count
+    mval = z_total + 1
+    # exact bit length via count-leading-zeros (float log2 is inexact at
+    # powers of two on TPU); dig = bitlen(mval) - 1
+    dig = 31 - jax.lax.clz(mval)
+
+    digit = (mval >> jnp.maximum(r, 0)) & 1
+    emit = valid & (nz | (r < dig))
+    value = jnp.where(nz, ranks + 1, digit)
+
+    ecount = jnp.cumsum(emit.astype(jnp.int32))
+    out_idx = ecount - 1
+    m = ecount[-1] + 1  # + EOB
 
     eob = n_in_use + 1
-    syms = jnp.full(n_max + 2, eob, dtype=jnp.int32)
-    # digits: static loop over digit index k, scatter active runs' bit k
-    for k in range(_MAX_DIGITS):
-        active = live & ((mvals >> k) >= 2)
-        syms = syms.at[jnp.where(active, offsets + k, n_max + 2)].set(
-            jnp.where(active, (mvals >> k) & 1, 0), mode="drop"
-        )
-    # nonzero symbols (rank+1) at each chunk's end; the EOB chunk's slot
-    # already holds eob from the fill value
-    is_sym = t_idx < n_nz
-    syms = syms.at[jnp.where(is_sym, offsets + dig, n_max + 2)].set(
-        jnp.where(is_sym, vals_nz, 0), mode="drop"
+    # padding value IS the EOB symbol, so slot m-1 needs no write
+    syms = jnp.full(n_max + 2, 0, dtype=jnp.int32) + eob
+    syms = syms.at[jnp.where(emit, out_idx, n_max + 2)].set(
+        jnp.where(emit, value, 0), mode="drop"
     )
 
-    out_idx = jnp.arange(n_max + 2, dtype=jnp.int32)
+    # frequencies: digits by two masked sums, ranks by one scatter-add
+    zero_emit = emit & ~nz
+    runa = jnp.sum(zero_emit & (digit == 0)).astype(jnp.int32)
+    runb = jnp.sum(zero_emit & (digit == 1)).astype(jnp.int32)
     freq = jnp.zeros(260, dtype=jnp.int32)
-    freq = freq.at[jnp.where(out_idx < m, syms, 259)].add(1, mode="drop")
+    freq = freq.at[jnp.where(nz, ranks + 1, 260)].add(1, mode="drop")
+    freq = freq.at[0].add(runa).at[1].add(runb)
+    freq = freq.at[eob].add(1)
     return syms, m, freq
