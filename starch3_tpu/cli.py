@@ -62,6 +62,16 @@ USAGE = f"""\
   --jax                   Use the JAX/TPU compute path
   --help | -h             Show this usage message
   --version | -v          Show binary version
+
+  Multi-host (run one process per host; archives are byte-identical for
+  any host count):
+
+  --coordinator=HOST:PORT JAX distributed coordinator (host 0's address)
+  --num-hosts=N           total number of processes
+  --host-id=I             this process's id (0-based)
+  --manifest-dir=DIR      shared directory transport / resume manifest
+                          (without it, streams gather over the JAX
+                          runtime's DCN collectives)
 """
 
 
@@ -75,6 +85,10 @@ def _parse_args(argv: list[str]) -> dict:
         "jax": False,
         "chrom": None,
         "input": None,
+        "coordinator": None,
+        "num_hosts": None,
+        "host_id": None,
+        "manifest_dir": None,
     }
     i = 0
     while i < len(argv):
@@ -105,6 +119,14 @@ def _parse_args(argv: list[str]) -> dict:
             import jax
 
             jax.config.update("jax_platforms", plat)
+        elif a.startswith("--coordinator="):
+            opts["coordinator"] = a[len("--coordinator=") :]
+        elif a.startswith("--num-hosts="):
+            opts["num_hosts"] = int(a[len("--num-hosts=") :])
+        elif a.startswith("--host-id="):
+            opts["host_id"] = int(a[len("--host-id=") :])
+        elif a.startswith("--manifest-dir="):
+            opts["manifest_dir"] = a[len("--manifest-dir=") :]
         elif a in ("--bzip2", "-b"):
             _set_method(opts, CompressionMethod.BZIP2)
         elif a in ("--gzip", "-g"):
@@ -183,6 +205,37 @@ def main(argv: list[str] | None = None) -> int:
         if opts["chrom"] and not opts["decode"]:
             raise OptionError("--chrom requires --decode")
         encode = not (opts["decode"] or opts["list"])
+        if encode and (opts["num_hosts"] or 0) > 1:
+            # multi-host encode: every process runs this same command
+            # with its own --host-id; host 0 writes the archive
+            from starch3_tpu.parallel.distributed import (
+                compress_bed_bytes_multihost,
+                initialize_distributed,
+            )
+
+            initialize_distributed(
+                opts["coordinator"], opts["num_hosts"], opts["host_id"]
+            )
+            data = _read_input(opts["input"])
+            config = EncodeConfig(
+                note=opts["note"],
+                method=opts["method"] or CompressionMethod.default(),
+                use_jax=opts["jax"],
+            )
+            archive = compress_bed_bytes_multihost(
+                data,
+                config,
+                num_hosts=opts["num_hosts"],
+                host_id=opts["host_id"] or 0,
+                manifest_dir=opts["manifest_dir"],
+            )
+            if (opts["host_id"] or 0) == 0:
+                if opts["output"]:
+                    with open(opts["output"], "wb") as f:
+                        f.write(archive)
+                else:
+                    sys.stdout.buffer.write(archive)
+            return 0
         if encode and opts["input"] not in (None, "-") :
             # named-file encode streams chunk-by-chunk (constant memory in
             # the corpus size; api.compress_bed_file) straight to the sink

@@ -89,7 +89,20 @@ def write_block_from_device_syms(
 ) -> None:
     """Encode a block from the fully-on-device pipeline's outputs
     (ops/rle2_jax.py): the RLE2 symbol stream and its histogram arrive
-    from HBM; only Huffman planning + bit emission remain."""
+    from HBM; only Huffman planning + bit emission remain.  That tail
+    runs in the native runtime when built (~90 ms -> a few ms per 900 kB
+    block, GIL released); the NumPy path below is the behavioral oracle."""
+    from starch3_tpu.runtime import encode_tail_native
+
+    native = encode_tail_native(symbols, freq, in_use, orig_ptr, crc)
+    if native is not None:
+        frag = BitWriter()
+        out, tail, tail_nbits = native
+        frag._out += out
+        frag._acc = tail
+        frag._nbits = tail_nbits
+        bw.append_writer(frag)
+        return
     from starch3_tpu.codec.mtf import MtfResult
 
     n_in_use = int(in_use.sum())
@@ -105,14 +118,36 @@ def write_block_from_device_syms(
 
 def _write_block_tail(bw: BitWriter, crc: int, orig_ptr: int, mtf) -> None:
     plan = huffman.build_plan(mtf.symbols, mtf.freq, mtf.alpha_size)
+    write_block_header(
+        bw, crc, orig_ptr, mtf.in_use, plan.n_groups, plan.lengths,
+        plan.selectors_mtf,
+    )
+    # coded data: gather (code, len) per symbol by its group's table
+    syms = mtf.symbols.astype(np.int64)
+    gids = plan.group_ids
+    codes = plan.codes[gids, syms]
+    lens = plan.lengths[gids, syms]
+    bw.write_array(codes, lens)
 
+
+def write_block_header(
+    bw: BitWriter,
+    crc: int,
+    orig_ptr: int,
+    in_use: np.ndarray,
+    n_groups: int,
+    lengths: np.ndarray,
+    selectors_mtf: np.ndarray,
+) -> None:
+    """Everything before a block's coded data: magics, used map,
+    MTF+unary selectors, delta-coded tables.  Shared by the host tail
+    and the device-Huffman path (which appends device-packed words)."""
     bw.write(BLOCK_MAGIC, 48)
     bw.write(crc, 32)
     bw.write(0, 1)  # randomised: never, matching the 1.0.x compressor
     bw.write(orig_ptr, 24)
 
     # used-byte map
-    in_use = mtf.in_use
     group_used = in_use.reshape(16, 16).any(axis=1)
     bw.write(int("".join("1" if g else "0" for g in group_used), 2), 16)
     for g in range(16):
@@ -120,15 +155,15 @@ def _write_block_tail(bw: BitWriter, crc: int, orig_ptr: int, mtf) -> None:
             bits = in_use[g * 16 : (g + 1) * 16]
             bw.write(int("".join("1" if b else "0" for b in bits), 2), 16)
 
-    n_sel = plan.selectors_mtf.size
-    bw.write(plan.n_groups, 3)
+    n_sel = selectors_mtf.size
+    bw.write(n_groups, 3)
     bw.write(n_sel, 15)
     # selectors: unary
-    for j in plan.selectors_mtf.tolist():
+    for j in selectors_mtf.tolist():
         bw.write(((1 << j) - 1) << 1, j + 1)  # j ones then a zero
     # tables: delta-coded lengths
-    for t in range(plan.n_groups):
-        lens = plan.lengths[t]
+    for t in range(n_groups):
+        lens = lengths[t]
         curr = int(lens[0])
         bw.write(curr, 5)
         for l in lens.tolist():
@@ -139,12 +174,6 @@ def _write_block_tail(bw: BitWriter, crc: int, orig_ptr: int, mtf) -> None:
                 bw.write(0b11, 2)
                 curr -= 1
             bw.write(0, 1)
-    # coded data: gather (code, len) per symbol by its group's table
-    syms = mtf.symbols.astype(np.int64)
-    gids = plan.group_ids
-    codes = plan.codes[gids, syms]
-    lens = plan.lengths[gids, syms]
-    bw.write_array(codes, lens)
 
 
 def bz2_compress(data: bytes, level: int = 9, workers: int | None = None) -> bytes:

@@ -172,13 +172,10 @@ class HuffmanPlan:
     group_ids: np.ndarray  # int64[n_symbols] table id per symbol
 
 
-def build_plan(symbols: np.ndarray, freq: np.ndarray, alpha_size: int) -> HuffmanPlan:
-    """Run the refinement iterations and produce the final coding plan."""
-    n_mtf = int(symbols.size)
+def initial_lengths(freq: np.ndarray, alpha_size: int, n_mtf: int) -> np.ndarray:
+    """Initial tables: bzip2's contiguous frequency-mass split (with its
+    quirky odd-part adjustment), as 0/15 icost rows."""
     n_groups = n_groups_for(n_mtf)
-    n_sel = (n_mtf + GROUP_SIZE - 1) // GROUP_SIZE
-
-    # --- initial tables: contiguous frequency-mass split -----------------
     lengths = np.empty((n_groups, alpha_size), dtype=np.int64)
     rem_f = n_mtf
     gs = 0
@@ -202,6 +199,16 @@ def build_plan(symbols: np.ndarray, freq: np.ndarray, alpha_size: int) -> Huffma
         lengths[n_part - 1] = row
         gs = ge + 1
         rem_f -= a_freq
+    return lengths
+
+
+def build_plan(symbols: np.ndarray, freq: np.ndarray, alpha_size: int) -> HuffmanPlan:
+    """Run the refinement iterations and produce the final coding plan."""
+    n_mtf = int(symbols.size)
+    n_groups = n_groups_for(n_mtf)
+    n_sel = (n_mtf + GROUP_SIZE - 1) // GROUP_SIZE
+
+    lengths = initial_lengths(freq, alpha_size, n_mtf)
 
     # --- per-group histograms (vectorized; reused across iterations) -----
     group_id_per_symbol = np.arange(n_mtf, dtype=np.int64) // GROUP_SIZE

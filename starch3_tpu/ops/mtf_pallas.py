@@ -40,21 +40,25 @@ def _mtf_kernel(seq_ref, out_ref, carry_ref):
     out_ref[:] = _mtf_tile(seq_ref[:], t, carry_ref)
 
 
-def _mtf_tile(vals, t, carry_ref):
-    """One (TILE,) tile's ranks; updates the last-occurrence carry."""
-    sym = jax.lax.broadcasted_iota(jnp.int32, (TILE, 256), 1)
-    pos = t * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, 256), 0)
+def _mtf_tile(vals, t, carry_ref, width=256):
+    """One (TILE,) tile's ranks; updates the last-occurrence carry.
+
+    ``width`` is the one-hot lane count — 128 when the dense alphabet
+    fits (the transformed-BED case), halving the VPU work vs 256 (the
+    VPU lane dimension is 128, so nothing narrower helps further)."""
+    sym = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 1)
+    pos = t * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 0)
     onehot = vals[:, None] == sym
     occ = jnp.where(onehot, pos, _NEG)
     # exclusive cumulative max along sublanes (Hillis-Steele, log2(TILE)
     # rounds of shift+max); exclusive: shift down by 1 first
     ex = jnp.concatenate(
-        [jnp.full((1, 256), _NEG, jnp.int32), occ[:-1, :]], axis=0
+        [jnp.full((1, width), _NEG, jnp.int32), occ[:-1, :]], axis=0
     )
     shift = 1
     while shift < TILE:
         shifted = jnp.concatenate(
-            [jnp.full((shift, 256), _NEG, jnp.int32), ex[:-shift, :]], axis=0
+            [jnp.full((shift, width), _NEG, jnp.int32), ex[:-shift, :]], axis=0
         )
         ex = jnp.maximum(ex, shifted)
         shift <<= 1
@@ -66,7 +70,7 @@ def _mtf_tile(vals, t, carry_ref):
     return ranks
 
 
-def _make_mtf_kernel_batch(tiles_per_row: int):
+def _make_mtf_kernel_batch(tiles_per_row: int, width: int = 256):
     """Batch rows flattened into the 1-D grid: grid step t works on tile
     ``t % tiles_per_row`` of row ``t // tiles_per_row``; the carry
     re-initializes at each row start.  1-D blocks sidestep the TPU
@@ -79,10 +83,10 @@ def _make_mtf_kernel_batch(tiles_per_row: int):
         @pl.when(tr == 0)
         def _():
             carry_ref[0, :] = -1 - jax.lax.broadcasted_iota(
-                jnp.int32, (256,), 0
+                jnp.int32, (width,), 0
             )
 
-        out_ref[:] = _mtf_tile(seq_ref[:], tr, carry_ref)
+        out_ref[:] = _mtf_tile(seq_ref[:], tr, carry_ref, width)
 
     return kernel
 
@@ -104,9 +108,9 @@ def mtf_ranks_pallas(seq: jax.Array, n_max: int, interpret: bool = False) -> jax
     )(seq)
 
 
-@functools.partial(jax.jit, static_argnames=("n_max", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_max", "width", "interpret"))
 def mtf_ranks_pallas_batch(
-    seqs: jax.Array, n_max: int, interpret: bool = False
+    seqs: jax.Array, n_max: int, width: int = 256, interpret: bool = False
 ) -> jax.Array:
     """Batched MTF ranks: int32[B, n_max] -> int32[B, n_max] in ONE
     pallas_call over a (batch, tile) grid — the batch axis is the slow
@@ -116,17 +120,18 @@ def mtf_ranks_pallas_batch(
     (round-1 VERDICT weak #2)."""
     b, nm = seqs.shape
     assert nm == n_max and n_max % TILE == 0
+    assert width in (128, 256)
     tiles_per_row = n_max // TILE
     flat = seqs.reshape(b * n_max)
     out = pl.pallas_call(
-        _make_mtf_kernel_batch(tiles_per_row),
+        _make_mtf_kernel_batch(tiles_per_row, width),
         grid=(b * tiles_per_row,),
         in_specs=[
             pl.BlockSpec((TILE,), lambda t: (t,), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec((TILE,), lambda t: (t,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * n_max,), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, 256), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((1, width), jnp.int32)],
         interpret=interpret,
     )(flat)
     return out.reshape(b, n_max)

@@ -63,10 +63,11 @@ def _bwt_remap(block, n, n_max):
     return ptr, used, seq
 
 
-def _batch_ranks(seqs, lens, n_max, pallas_mtf):
+def _batch_ranks(seqs, lens, n_max, pallas_mtf, width=256):
     """Batched MTF ranks: one (batch, tile)-grid Pallas call, or the XLA
     scan formulation where the kernel isn't available (CPU backends,
-    mesh-sharded dispatch)."""
+    mesh-sharded dispatch).  ``width`` must cover the dense alphabet;
+    128 halves the kernel's VPU work for small-alphabet blocks."""
     import jax
     import jax.numpy as jnp
 
@@ -75,7 +76,7 @@ def _batch_ranks(seqs, lens, n_max, pallas_mtf):
     if pallas_mtf:
         from starch3_tpu.ops.mtf_pallas import mtf_ranks_pallas_batch
 
-        ranks = mtf_ranks_pallas_batch(seqs, n_max)
+        ranks = mtf_ranks_pallas_batch(seqs, n_max, width)
         idx = jnp.arange(n_max, dtype=jnp.int32)
         return jnp.where(idx[None, :] < lens[:, None], ranks, 0)
     return jax.vmap(lambda s, n: mtf_ranks_padded(s, n, n_max))(seqs, lens)
@@ -148,7 +149,11 @@ def _jitted_fused_step_fast(n_max: int, bits: int, pallas_mtf: bool = False):
         lasts, ptrs, ties = jax.vmap(
             lambda s, n: bwt_sort_fast(s.astype(jnp.int32), n, n_max, bits)
         )(seqs, lens)
-        ranks = _batch_ranks(lasts, lens, n_max, pallas_mtf)
+        # bits==4 implies a dense alphabet <= 16, so the narrow MTF
+        # one-hot is always sufficient there
+        ranks = _batch_ranks(
+            lasts, lens, n_max, pallas_mtf, width=128 if bits == 4 else 256
+        )
         return jax.vmap(tail_one)(ptrs, ties, ranks, lens, nsyms)
 
     return jax.jit(step)
@@ -254,8 +259,11 @@ def _unpack_results(out_d, lens, b, n_max):
 
 
 # geometry buckets: one compiled program per bucket, shared by every
-# stream/chromosome (a per-input n_max would recompile per geometry)
-_N_MAX_BUCKETS = (16_384, 131_072, N_MAX_BLOCK)
+# stream/chromosome (a per-input n_max would recompile per geometry).
+# 448 kB sits between "small chromosome" and "full block": typical
+# whole-genome per-chromosome transformed texts are 300-600 kB, and
+# padding those to 901k would double the device work
+_N_MAX_BUCKETS = (16_384, 131_072, 458_752, N_MAX_BLOCK)
 
 
 def _bucket_for(size: int) -> int:
@@ -269,9 +277,10 @@ def encode_streams(
     texts: list[bytes],
     level: int = 9,
     mesh=None,
-    batch_size: int = 8,
+    batch_size: int = 4,
     device_rle2: bool = False,
     fast_bwt: bool = True,
+    host_assist: bool | None = None,
 ) -> list:  # list[codec.encoder.EncodedStream]
     """Compress many independent streams with one global device queue.
 
@@ -284,6 +293,13 @@ def encode_streams(
     ``fast_bwt`` (default) sorts rotations once by packed prefix keys and
     re-encodes tie-flagged blocks on the host — output bytes are identical
     either way.  ``device_rle2`` only matters when ``fast_bwt`` is False.
+
+    ``host_assist`` (default: on when the native runtime is built and no
+    mesh is given) runs spare CPU cores as work stealers: the device
+    claims batches from the front of each bucket's queue, host threads
+    claim single blocks from the back, and they meet in the middle.
+    Output bytes are identical regardless of the split, so the archive
+    stays deterministic — this is throughput scheduling, not semantics.
     """
     mode = "fast" if fast_bwt else ("rle2" if device_rle2 else "ranks")
     per_stream_blocks = [rle1_split_blocks(t, level) for t in texts]
@@ -297,23 +313,45 @@ def encode_streams(
         nb = _bucket_for(len(per_stream_blocks[si][bi].data))
         by_bucket.setdefault(nb, []).append((si, bi))
 
+    if host_assist is None:
+        from starch3_tpu.runtime import get_lib
+
+        host_assist = mesh is None and get_lib() is not None
     results: dict[tuple[int, int], tuple] = {}
-    for n_max, items in by_bucket.items():
-        pending = []
-        for lo in range(0, len(items), batch_size):
-            chunk = items[lo : lo + batch_size]
-            datas = [per_stream_blocks[si][bi].data for si, bi in chunk]
-            pending.append(
-                (chunk, _dispatch_chunk(datas, n_max, mesh, mode))
-            )
-            if len(pending) > 1:
+    stealers, stop_flag = _start_host_stealers(
+        by_bucket, per_stream_blocks, results, host_assist
+    )
+    try:
+        for n_max, items in by_bucket.items():
+            cursor = _cursors[id(by_bucket)][n_max]
+            pending = []
+            while True:
+                with _steal_lock:
+                    lo = cursor[0]
+                    hi = cursor[1]
+                    take = min(batch_size, hi - lo + 1)
+                    if take > 0:
+                        cursor[0] = lo + take
+                if take <= 0:
+                    break
+                chunk = items[lo : lo + take]
+                datas = [per_stream_blocks[si][bi].data for si, bi in chunk]
+                pending.append(
+                    (chunk, _dispatch_chunk(datas, n_max, mesh, mode))
+                )
+                if len(pending) > 1:
+                    _drain_into(
+                        results, per_stream_blocks, pending.pop(0), n_max, mode
+                    )
+            while pending:
                 _drain_into(
                     results, per_stream_blocks, pending.pop(0), n_max, mode
                 )
-        while pending:
-            _drain_into(
-                results, per_stream_blocks, pending.pop(0), n_max, mode
-            )
+    finally:
+        stop_flag.append(True)
+        for t in stealers:
+            t.join()
+        _cursors.pop(id(by_bucket), None)
 
     streams = []
     for si, blocks in enumerate(per_stream_blocks):
@@ -349,6 +387,58 @@ def encode_streams(
             )
         )
     return streams
+
+
+import threading
+
+_steal_lock = threading.Lock()
+# per-encode_streams-call cursors: {id(by_bucket): {n_max: [lo, hi]}}
+_cursors: dict[int, dict] = {}
+
+
+def _start_host_stealers(by_bucket, per_stream_blocks, results, host_assist):
+    """Arm the two-ended block queue: device claims batches from the
+    front (the caller's loop), host threads claim single blocks from the
+    back through the native encoder.  Returns (threads, stop_flag)."""
+    _cursors[id(by_bucket)] = {
+        nm: [0, len(items) - 1] for nm, items in by_bucket.items()
+    }
+    if not host_assist:
+        return [], []
+    import os
+
+    from starch3_tpu.codec.encoder import encode_block_fragment
+
+    stop_flag: list = []
+    cursors = _cursors[id(by_bucket)]
+    # biggest-block buckets first: one steal = one native block encode,
+    # so stealing big blocks moves the most bytes per claim
+    order = sorted(by_bucket, reverse=True)
+
+    def steal():
+        while not stop_flag:
+            claim = None
+            with _steal_lock:
+                for nm in order:
+                    cur = cursors[nm]
+                    if cur[0] <= cur[1]:
+                        claim = (nm, cur[1])
+                        cur[1] -= 1
+                        break
+            if claim is None:
+                return
+            nm, i = claim
+            si, bi = by_bucket[nm][i]
+            frag = encode_block_fragment(per_stream_blocks[si][bi])
+            results[(si, bi)] = frag
+
+    # the main thread mostly blocks on device transfers, so every core
+    # can steal; the native encode releases the GIL
+    n_workers = os.cpu_count() or 2
+    threads = [threading.Thread(target=steal, daemon=True) for _ in range(n_workers)]
+    for t in threads:
+        t.start()
+    return threads, stop_flag
 
 
 def _drain_into(results, per_stream_blocks, item, n_max, mode="ranks"):
@@ -396,7 +486,7 @@ def _unpack_results_fast(out_d, b):
 def jax_bz2_compress(data: bytes, config=None, mesh=None, n_max: int | None = None) -> bytes:
     """bzip2-compatible compression with the heavy stages on device."""
     level = config.block_size_100k if config is not None else 9
-    batch_size = getattr(config, "blocks_per_batch", 8) if config else 8
+    batch_size = getattr(config, "blocks_per_batch", 4) if config else 4
     return encode_streams(
         [data],
         level=level,

@@ -123,6 +123,13 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.s3_encode_tail.restype = ctypes.c_int64
+        lib.s3_encode_tail.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_uint32, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.s3_crc32.restype = ctypes.c_uint32
         lib.s3_crc32.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.s3_parse_ints.restype = ctypes.c_int64
@@ -339,6 +346,38 @@ def encode_block_native(data: bytes, crc: int):
     n = lib.s3_encode_block(
         arr.ctypes.data, arr.size, crc, out.ctypes.data, cap,
         ctypes.byref(tail), ctypes.byref(tail_nbits),
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes(), int(tail.value), int(tail_nbits.value)
+
+
+def encode_tail_native(
+    syms: np.ndarray,
+    freq: np.ndarray,
+    in_use: np.ndarray,
+    orig_ptr: int,
+    crc: int,
+):
+    """Block tail from device results (runtime.cpp s3_encode_tail):
+    Huffman refinement + serialization over a precomputed RLE2 symbol
+    stream.  Returns (fragment_bytes, tail_acc, tail_nbits) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    syms16 = np.ascontiguousarray(syms, dtype=np.uint16)
+    freq64 = np.zeros(258, dtype=np.int64)
+    freq64[: min(freq.size, 258)] = freq[:258]
+    used = np.ascontiguousarray(in_use, dtype=np.uint8)
+    n_in_use = int(used.sum())
+    cap = syms16.size * 3 + 8192
+    out = np.empty(cap, dtype=np.uint8)
+    tail = ctypes.c_uint64()
+    tail_nbits = ctypes.c_int32()
+    n = lib.s3_encode_tail(
+        syms16.ctypes.data, syms16.size, freq64.ctypes.data,
+        n_in_use, used.ctypes.data, orig_ptr, crc,
+        out.ctypes.data, cap, ctypes.byref(tail), ctypes.byref(tail_nbits),
     )
     if n < 0:
         return None

@@ -1721,6 +1721,12 @@ struct BitW {
 
 }  // namespace
 
+int64_t s3_encode_tail(const uint16_t* syms, int64_t n_mtf,
+                       const int64_t* freq_in, int32_t n_in_use,
+                       const uint8_t* in_use_u8, int64_t orig_ptr,
+                       uint32_t crc, uint8_t* out, int64_t out_cap,
+                       uint64_t* tail, int32_t* tail_nbits);
+
 int64_t s3_encode_block(const uint8_t* block, int64_t n, uint32_t crc,
                         uint8_t* out, int64_t out_cap, uint64_t* tail,
                         int32_t* tail_nbits) {
@@ -1782,11 +1788,33 @@ int64_t s3_encode_block(const uint8_t* block, int64_t n, uint32_t crc,
         }
     }
     // --- RLE2 symbol stream ----------------------------------------------
-    const int alpha = n_in_use + 2;
     std::vector<uint16_t> syms((size_t)(n + 2));
     int64_t freq[258];
     int64_t n_mtf =
         s3_rle2_from_ranks(ranks.data(), n, n_in_use, syms.data(), freq);
+    uint8_t in_use_u8[256];
+    for (int c = 0; c < 256; c++) in_use_u8[c] = in_use[c] ? 1 : 0;
+    return s3_encode_tail(syms.data(), n_mtf, freq, n_in_use, in_use_u8,
+                          orig_ptr, crc, out, out_cap, tail, tail_nbits);
+}
+
+// Block tail from precomputed RLE2 symbols: the Huffman refinement +
+// serialization half of s3_encode_block, callable directly with the
+// device pipeline's downloads (symbol stream + histogram + used map +
+// origPtr) so the host's per-block work in the JAX path runs at native
+// speed (the NumPy tail costs ~90 ms per 900 kB block; this runs it in
+// a few ms and releases the GIL under the drain thread pool).
+int64_t s3_encode_tail(const uint16_t* syms, int64_t n_mtf,
+                       const int64_t* freq_in, int32_t n_in_use,
+                       const uint8_t* in_use_u8, int64_t orig_ptr,
+                       uint32_t crc, uint8_t* out, int64_t out_cap,
+                       uint64_t* tail, int32_t* tail_nbits) {
+    if (n_mtf <= 0) return -1;
+    const int alpha = n_in_use + 2;
+    bool in_use[256];
+    for (int c = 0; c < 256; c++) in_use[c] = in_use_u8[c] != 0;
+    int64_t freq[258];
+    for (int s = 0; s < 258; s++) freq[s] = s < alpha ? freq_in[s] : 0;
     // --- Huffman plan: initial contiguous frequency-mass split ------------
     int n_groups = n_mtf < 200 ? 2
                  : n_mtf < 600 ? 3
