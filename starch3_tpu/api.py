@@ -51,6 +51,7 @@ def _compress_stream_ex(
                 batch_size=config.blocks_per_batch,
                 device_rle2=getattr(config, "device_rle2", False),
                 fast_bwt=getattr(config, "fast_bwt", True),
+                device_huffman=getattr(config, "device_huffman", False),
             )[0]
         else:
             from starch3_tpu.codec.encoder import bz2_compress_ex
@@ -215,6 +216,7 @@ def compress_bed_bytes(data: bytes, config: EncodeConfig | None = None) -> bytes
                 batch_size=config.blocks_per_batch,
                 device_rle2=config.device_rle2,
                 fast_bwt=config.fast_bwt,
+                device_huffman=config.device_huffman,
             )
         elif config.method is CompressionMethod.BZIP2 and transformed:
             # host path: shared thread pool over every stream's blocks
@@ -314,10 +316,12 @@ def compress_bed_file(
     identical to ``compress_bed_bytes`` on the whole file.
 
     Peak memory ~ a small window of chromosomes (the pool's in-flight
-    texts), not the corpus.  Falls back to the in-memory path when the
-    native runtime is absent, or when ``use_jax`` is set (the device
-    queue batches blocks across all chromosomes — per-chromosome
-    dispatches would forfeit that, api.compress_bed_bytes).
+    texts), not the corpus.  With ``use_jax``, completed chromosomes
+    accumulate into a bounded window that flushes through the shared
+    device queue (parallel/pipeline.encode_streams), so chunked
+    streaming and cross-chromosome block batching compose.  Falls back
+    to the in-memory path only when the native runtime (the streaming
+    parser) is absent.
     """
     import os
 
@@ -325,7 +329,7 @@ def compress_bed_file(
     from starch3_tpu.runtime import bed_transform_native, get_lib
 
     config = config or EncodeConfig()
-    if get_lib() is None or config.use_jax:
+    if get_lib() is None:
         with open(in_path, "rb") as f:
             out_fh.write(compress_bed_bytes(f.read(), config))
         return
@@ -341,7 +345,10 @@ def compress_bed_file(
     # of blocks compress exclusively with the block pool instead of
     # nesting a per-stream pool inside the stream pool
     big_stream = 4 * 100_000 * config.block_size_100k
-    window_bytes = 512 << 20  # cap on queued uncompressed text
+    # cap on queued uncompressed text: a couple of in-flight chromosomes
+    # per worker keeps the pool saturated; anything larger only inflates
+    # peak RSS (the constant-memory bound is window + largest chromosome)
+    window_bytes = 256 << 20
     pool = ThreadPoolExecutor(workers)
     pending: deque = deque()  # (chrom, text_len, lc, nu, u, future)
     inflight = 0  # queued uncompressed bytes
@@ -362,6 +369,37 @@ def compress_bed_file(
                 block_bit_offsets=offsets,
             )
 
+    use_jax_queue = config.use_jax and config.method is CompressionMethod.BZIP2
+    jax_window = 256 << 20  # uncompressed bytes per device-queue flush
+    jax_batch: list = []  # (chrom, text, lc, nu, u)
+    jax_batch_bytes = 0
+
+    def flush_jax() -> None:
+        nonlocal jax_batch, jax_batch_bytes
+        if not jax_batch:
+            return
+        from starch3_tpu.parallel.pipeline import encode_streams
+
+        encs = encode_streams(
+            [t for _c, t, _l, _n, _u in jax_batch],
+            level=config.block_size_100k,
+            batch_size=config.blocks_per_batch,
+            device_rle2=config.device_rle2,
+            fast_bwt=config.fast_bwt,
+            device_huffman=config.device_huffman,
+        )
+        for (chrom, text, lc, nu, u), e in zip(jax_batch, encs):
+            writer.add_stream(
+                chrom,
+                e.data,
+                uncompressed_size=len(text),
+                line_count=lc,
+                base_count_nonunique=nu,
+                base_count_unique=u,
+                block_bit_offsets=list(e.block_bit_offsets),
+            )
+        jax_batch, jax_batch_bytes = [], 0
+
     def emit(chrom: str, text: bytes, lc: int, nu: int, u: int) -> None:
         # chromosome streams compress on the pool; archive writes stay in
         # input order via the bounded window
@@ -370,6 +408,13 @@ def compress_bed_file(
                 f"chromosome {chrom!r} is not contiguous; input must be sorted"
             )
         seen.add(chrom)
+        if use_jax_queue:
+            nonlocal jax_batch_bytes
+            jax_batch.append((chrom, text, lc, nu, u))
+            jax_batch_bytes += len(text)
+            if jax_batch_bytes >= jax_window:
+                flush_jax()
+            return
         if len(text) > big_stream:
             # multi-block chromosome: drain the window, then let this
             # stream's own blocks use the whole machine (no pool nesting)
@@ -453,6 +498,7 @@ def compress_bed_file(
             carry_raw = b"".join(carry_parts)
             for g in transform_or_raise(carry_raw):
                 emit(g[0], g[1], g[2], g[3], g[4])
+        flush_jax()
         drain(0)
     finally:
         pool.shutdown(wait=False, cancel_futures=True)

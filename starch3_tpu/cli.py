@@ -58,6 +58,7 @@ USAGE = f"""\
   --note="foo bar baz"    Append note to archive metadata (optional)
   --bzip2 | -b            Use bzip2 backend (default)
   --gzip | -g             Use gzip backend
+  --gzip-level=N          gzip compression level 1..9 (default 6)
   --output=FILE | -o      Write to FILE instead of stdout
   --jax                   Use the JAX/TPU compute path
   --help | -h             Show this usage message
@@ -89,6 +90,7 @@ def _parse_args(argv: list[str]) -> dict:
         "num_hosts": None,
         "host_id": None,
         "manifest_dir": None,
+        "gzip_level": None,
     }
     i = 0
     while i < len(argv):
@@ -119,6 +121,11 @@ def _parse_args(argv: list[str]) -> dict:
             import jax
 
             jax.config.update("jax_platforms", plat)
+        elif a.startswith("--gzip-level="):
+            lv = int(a[len("--gzip-level=") :])
+            if not 1 <= lv <= 9:
+                raise OptionError("--gzip-level must be 1..9")
+            opts["gzip_level"] = lv
         elif a.startswith("--coordinator="):
             opts["coordinator"] = a[len("--coordinator=") :]
         elif a.startswith("--num-hosts="):
@@ -221,6 +228,7 @@ def main(argv: list[str] | None = None) -> int:
                 note=opts["note"],
                 method=opts["method"] or CompressionMethod.default(),
                 use_jax=opts["jax"],
+                gzip_level=opts["gzip_level"] or 6,
             )
             archive = compress_bed_bytes_multihost(
                 data,
@@ -249,6 +257,7 @@ def main(argv: list[str] | None = None) -> int:
                 note=opts["note"],
                 method=opts["method"] or CompressionMethod.default(),
                 use_jax=opts["jax"],
+                gzip_level=opts["gzip_level"] or 6,
             )
             _stream_to_sink(
                 opts["output"], lambda f: compress_bed_file(opts["input"], f, config)
@@ -299,6 +308,7 @@ def main(argv: list[str] | None = None) -> int:
                 note=opts["note"],
                 method=opts["method"] or CompressionMethod.default(),
                 use_jax=opts["jax"],
+                gzip_level=opts["gzip_level"] or 6,
             )
             out = compress_bed_bytes(data, config)
         if opts["output"]:

@@ -74,6 +74,12 @@ class EncodeConfig:
     #: this flag).  This is the production device path; False forces the
     #: exact prefix-doubling kernel everywhere (tests, worst-case inputs)
     fast_bwt: bool = True
+    #: run Huffman group costing (MXU matmuls) and coded-data bit packing
+    #: on device too, leaving the host only the 258-node length heaps,
+    #: headers, and splicing.  Worth it when chips outnumber host cores
+    #: (pods); on a 1-chip host the native C++ tail is faster, so default
+    #: off.  Output bytes are identical either way.
+    device_huffman: bool = False
 
     def __post_init__(self) -> None:
         if not 1 <= self.block_size_100k <= 9:

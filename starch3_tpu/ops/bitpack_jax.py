@@ -92,6 +92,71 @@ def pack_bits_device(values: jax.Array, nbits: jax.Array, n_words: int):
     return words, total_bits.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("n_max", "w_cap"))
+def emit_coded_padded(
+    syms: jax.Array,
+    m: jax.Array,
+    selectors: jax.Array,
+    lut: jax.Array,
+    n_max: int,
+    w_cap: int,
+):
+    """Huffman-code a block's RLE2 symbol stream into packed words.
+
+    The device half of the reference's sendMTFValues emit loop (bundled
+    compress.c:550-600): per symbol, look up (code, len) in its group's
+    table and append MSB-first.  Codes are <= 17 bits wide (encoder
+    limit), so each field touches at most two 32-bit words — two
+    scatter-adds place everything.
+
+    Args:
+      syms: int32[n_max + 2] RLE2 symbols (entries past ``m`` ignored)
+      m: int32 scalar, symbol count
+      selectors: int32[g_max] table id per 50-symbol group
+      lut: int32[6 * 258] packed (code << 5) | len
+      n_max: static geometry
+      w_cap: static output capacity in words; if the true bit count
+        exceeds 32 * w_cap the caller must fall back (total_bits tells)
+    Returns:
+      words: uint32[w_cap] MSB-first bit content
+      total_bits: int32 scalar
+    """
+    from starch3_tpu.ops.huff_jax import ALPHA_MAX, GROUP_SIZE
+
+    n_pad = n_max + 2
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    valid = idx < m
+    # group id per symbol: selectors repeated 50x is a broadcast+reshape,
+    # not a gather
+    g_max = selectors.shape[0]
+    gid = jnp.broadcast_to(
+        selectors[:, None], (g_max, GROUP_SIZE)
+    ).reshape(g_max * GROUP_SIZE)[:n_pad]
+    entry = lut[gid * ALPHA_MAX + jnp.clip(syms, 0, ALPHA_MAX - 1)]
+    entry = jnp.where(valid, entry, 0)
+    w = entry & 31
+    v = (entry >> 5).astype(jnp.uint32)
+
+    ends = jnp.cumsum(w)
+    starts = ends - w
+    total_bits = ends[-1]
+    word = starts >> 5
+    off = starts & 31
+    rs = 32 - off - w
+    hi = jnp.where(
+        rs >= 0,
+        v << rs.clip(0).astype(jnp.uint32),
+        v >> (-rs).clip(0).astype(jnp.uint32),
+    )
+    lo = jnp.where(
+        rs >= 0, jnp.uint32(0), v << (32 + rs).clip(0, 31).astype(jnp.uint32)
+    )
+    words = jnp.zeros(w_cap, dtype=jnp.uint32)
+    words = words.at[jnp.where(valid, word, w_cap)].add(hi, mode="drop")
+    words = words.at[jnp.where(valid, word + 1, w_cap)].add(lo, mode="drop")
+    return words, total_bits.astype(jnp.int32)
+
+
 def pack_bits_via_device(values: np.ndarray, nbits: np.ndarray) -> bytes:
     """Host convenience wrapper: arbitrary widths up to 64, returns the
     zero-padded byte stream (equivalent to bitio.pack_bits(...)[0] plus

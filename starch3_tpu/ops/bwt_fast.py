@@ -86,15 +86,26 @@ def bwt_sort_fast(seq: jax.Array, n: jax.Array, n_max: int, bits: int = 4):
     valid = idx < n
     seq = jnp.where(valid, seq, 0)
 
-    keys = []
-    off = jnp.int32(0)
-    for _ in range(n_keys):
-        acc = jnp.zeros(n_max, dtype=jnp.uint32)
-        for _ in range(spk):
-            k = jnp.where(off >= n, off % jnp.maximum(n, 1), off)
-            acc = (acc << bits) | _cyclic_shift(seq, k, n, idx).astype(jnp.uint32)
-            off = off + 1
-        keys.append(jnp.where(valid, acc, _BIGU))
+    def shift(arr, k_static):
+        k = jnp.where(k_static >= n, jnp.int32(k_static) % jnp.maximum(n, 1),
+                      jnp.int32(k_static))
+        return _cyclic_shift(arr, k, n, idx)
+
+    # shift-or doubling ladder: pack 2^j symbols per element in j steps
+    # (p[i] <- p[i] << w | p[(i + 2^{j-1}) mod n]), then the later keys
+    # are single cyclic shifts of the first — 5 cyclic shifts total
+    # instead of one per symbol (24).  Key bytes are identical to the
+    # per-symbol construction: MSB-first consecutive symbols.
+    acc = seq.astype(jnp.uint32)
+    w = bits
+    while w * 2 <= spk * bits:
+        acc = (acc << w) | shift(acc, w // bits).astype(jnp.uint32)
+        w *= 2
+    keys = [jnp.where(valid, acc, _BIGU)]
+    for j in range(1, n_keys):
+        keys.append(
+            jnp.where(valid, shift(acc, j * spk).astype(jnp.uint32), _BIGU)
+        )
 
     # previous symbol seq[(i - 1) mod n]: the BWT last-column payload
     nm1 = jnp.maximum(n - 1, 0)

@@ -36,6 +36,26 @@ def group_histograms(symbols: jax.Array, n_mtf: jax.Array, g_max: int) -> jax.Ar
     return onehot.sum(axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("n_max",))
+def group_hist_padded(syms: jax.Array, m: jax.Array, n_max: int) -> jax.Array:
+    """hist[g, s] over 50-symbol groups of a padded RLE2 stream.
+
+    Scatter-add formulation: the one-hot matmul (group_histograms above)
+    materializes (G, 50, 258) — 24 GB at the 901k geometry — so the
+    production path scatters into the flattened (G * 258) table instead.
+    Entries at or past ``m`` are masked out.
+    """
+    g_max = (n_max + 2 + GROUP_SIZE - 1) // GROUP_SIZE
+    idx = jnp.arange(n_max + 2, dtype=jnp.int32)
+    valid = idx < m
+    flat = (idx // GROUP_SIZE) * ALPHA_MAX + jnp.clip(syms, 0, ALPHA_MAX - 1)
+    hist = jnp.zeros(g_max * ALPHA_MAX, dtype=jnp.int32)
+    hist = hist.at[jnp.where(valid, flat, g_max * ALPHA_MAX)].add(
+        1, mode="drop"
+    )
+    return hist.reshape(g_max, ALPHA_MAX)
+
+
 @jax.jit
 def cost_and_select(hist: jax.Array, lengths: jax.Array, n_groups_mask: jax.Array):
     """One refinement step on device.

@@ -1,19 +1,31 @@
 """Sharded block-encode pipeline: host segmentation -> device kernels ->
-host bit assembly.
+host bit assembly, with spare CPU cores stealing blocks.
 
 Per-stream flow (the TPU rebuild of the reference's 4-thread pipeline,
-SURVEY.md §2 parallelism table):
+SURVEY.md §2 parallelism table), production ("fast") mode:
 
-  host:    RLE1 segmentation into <= 900 kB blocks (sequential by nature,
-           codec/rle1.py) + per-block dense symbol remap
-  device:  batched BWT rotation sort + MTF ranks (ops/bwt_jax.py,
-           ops/mtf_jax.py), batch axis sharded over the chip mesh
-  host:    RLE2 + Huffman planning + bit packing (codec/*) and stream
+  host:    RLE1 segmentation into <= 900 kB blocks (sequential by
+           nature, codec/rle1.py) + per-block dense symbol remap,
+           nibble-packed for upload
+  device:  one-sort BWT (packed prefix keys, ops/bwt_fast.py) -> Pallas
+           MTF (ops/mtf_pallas.py) -> scatter-free RLE2
+           (ops/rle2_jax.py), fused into one dispatch per batch, batch
+           axis sharded over the chip mesh; the download is the
+           5-bit-packed RLE2 symbol stream + histogram
+  host:    native Huffman refinement + bit emission per block
+           (runtime.cpp s3_encode_tail, GIL released) and stream
            concatenation in block order (deterministic: partitioning is
            input-derived, never topology-derived)
 
-The device step is compiled once per (n_max, batch) geometry; blocks are
-padded to fixed shapes, lengths travel as scalars.
+With ``device_huffman`` the Huffman group costing (matmuls) and coded-
+data bit packing also run on device (4 cost/select rounds interleaved
+with host length heaps); the download shrinks to ~compressed size —
+the right trade when chips outnumber host cores.
+
+The device steps are compiled once per (n_max, bits) geometry bucket;
+blocks are padded to fixed shapes, lengths travel as scalars.  Blocks
+whose packed-prefix sort ties (detected on device) re-encode on the
+host — output bytes never depend on the path taken.
 """
 
 from __future__ import annotations
@@ -134,18 +146,33 @@ def _jitted_fused_step_fast(n_max: int, bits: int, pallas_mtf: bool = False):
     from starch3_tpu.ops.bwt_fast import bwt_sort_fast
     from starch3_tpu.ops.rle2_jax import rle2_from_ranks_padded
 
-    n_pairs = (n_max + 2 + 1) // 2
+    # download packing: with a 4-bit alphabet every RLE2 symbol is
+    # <= n_in_use + 1 <= 17 < 32, so 6 symbols fit a 5-bit-packed int32
+    # word — 3x less transfer than the generic 2x16-bit pack.  The
+    # tunnel/PCIe download is the device path's scarcest resource.
+    spw = 6 if bits == 4 else 2  # symbols per word
+    sb = 5 if bits == 4 else 16  # bits per symbol
+    n_words = (n_max + 2 + spw - 1) // spw
 
     def tail_one(ptr, ties, ranks, n, n_sym):
         syms, m, freq = rle2_from_ranks_padded(ranks, n, n_sym, n_max)
-        sp = jnp.concatenate([syms, jnp.zeros(n_pairs * 2 - syms.size, jnp.int32)])
-        sp = sp.reshape(n_pairs, 2)
-        packed = sp[:, 0] | (sp[:, 1] << 16)
+        sp = jnp.concatenate(
+            [syms, jnp.zeros(n_words * spw - syms.size, jnp.int32)]
+        )
+        sp = sp.reshape(n_words, spw)
+        packed = sp[:, 0]
+        for k in range(1, spw):
+            packed = packed | (sp[:, k] << (sb * k))
         return jnp.concatenate(
             [ptr[None], m[None], ties[None], freq, packed]
         )
 
     def step(seqs, lens, nsyms):
+        if bits == 4:
+            # inputs arrive 2 symbols per byte (see _dispatch_chunk)
+            lo = (seqs & 0xF).astype(jnp.int32)
+            hi = (seqs >> 4).astype(jnp.int32)
+            seqs = jnp.stack([lo, hi], axis=-1).reshape(seqs.shape[0], n_max)
         lasts, ptrs, ties = jax.vmap(
             lambda s, n: bwt_sort_fast(s.astype(jnp.int32), n, n_max, bits)
         )(seqs, lens)
@@ -157,6 +184,80 @@ def _jitted_fused_step_fast(n_max: int, bits: int, pallas_mtf: bool = False):
         return jax.vmap(tail_one)(ptrs, ties, ranks, lens, nsyms)
 
     return jax.jit(step)
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_fused_step_fast2(n_max: int, bits: int, pallas_mtf: bool = False):
+    """fast step variant for the device-Huffman tail: the RLE2 symbol
+    stream STAYS on device (returned as an array the Huffman/bit-pack
+    stages consume in place); only [ptr, m, ties] + freq go home."""
+    import jax
+    import jax.numpy as jnp
+
+    from starch3_tpu.ops.bwt_fast import bwt_sort_fast
+    from starch3_tpu.ops.rle2_jax import rle2_from_ranks_padded
+
+    def step(seqs, lens, nsyms):
+        if bits == 4:
+            # inputs arrive 2 symbols per byte (see _dispatch_chunk)
+            lo = (seqs & 0xF).astype(jnp.int32)
+            hi = (seqs >> 4).astype(jnp.int32)
+            seqs = jnp.stack([lo, hi], axis=-1).reshape(seqs.shape[0], n_max)
+        lasts, ptrs, ties = jax.vmap(
+            lambda s, n: bwt_sort_fast(s.astype(jnp.int32), n, n_max, bits)
+        )(seqs, lens)
+        ranks = _batch_ranks(
+            lasts, lens, n_max, pallas_mtf, width=128 if bits == 4 else 256
+        )
+        syms, m, freq = jax.vmap(
+            lambda r, n, a: rle2_from_ranks_padded(r, n, a, n_max)
+        )(ranks, lens, nsyms)
+        small = jnp.concatenate(
+            [ptrs[:, None], m[:, None], ties[:, None], freq], axis=1
+        )
+        return small, syms
+
+    return jax.jit(step)
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_group_hist(n_max: int):
+    import jax
+
+    from starch3_tpu.ops.huff_jax import group_hist_padded
+
+    return jax.jit(
+        jax.vmap(lambda s, m: group_hist_padded(s, m, n_max))
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_cost_select():
+    import jax
+
+    from starch3_tpu.ops.huff_jax import cost_and_select
+
+    return jax.jit(jax.vmap(cost_and_select))
+
+
+def _emit_w_cap(n_max: int) -> int:
+    # ~5.3 coded bits per input symbol of capacity; overflow is detected
+    # via total_bits and falls back to the host encoder for that block
+    return (n_max + 2) // 6 + 64
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_emit_coded(n_max: int):
+    import jax
+
+    from starch3_tpu.ops.bitpack_jax import emit_coded_padded
+
+    w_cap = _emit_w_cap(n_max)
+    return jax.jit(
+        jax.vmap(
+            lambda s, m, sel, lut: emit_coded_padded(s, m, sel, lut, n_max, w_cap)
+        )
+    )
 
 
 @functools.lru_cache(maxsize=8)
@@ -281,6 +382,7 @@ def encode_streams(
     device_rle2: bool = False,
     fast_bwt: bool = True,
     host_assist: bool | None = None,
+    device_huffman: bool = False,
 ) -> list:  # list[codec.encoder.EncodedStream]
     """Compress many independent streams with one global device queue.
 
@@ -301,7 +403,10 @@ def encode_streams(
     Output bytes are identical regardless of the split, so the archive
     stays deterministic — this is throughput scheduling, not semantics.
     """
-    mode = "fast" if fast_bwt else ("rle2" if device_rle2 else "ranks")
+    if fast_bwt:
+        mode = "fast_huff" if device_huffman else "fast"
+    else:
+        mode = "rle2" if device_rle2 else "ranks"
     per_stream_blocks = [rle1_split_blocks(t, level) for t in texts]
     flat: list[tuple[int, int]] = []  # (stream_idx, block_idx)
     for si, blocks in enumerate(per_stream_blocks):
@@ -443,8 +548,10 @@ def _start_host_stealers(by_bucket, per_stream_blocks, results, host_assist):
 
 def _drain_into(results, per_stream_blocks, item, n_max, mode="ranks"):
     chunk, (out_d, aux) = item
+    if mode == "fast_huff":
+        return _drain_fast_huff(results, per_stream_blocks, chunk, out_d, aux, n_max)
     if mode == "fast":
-        unpacked = _unpack_results_fast(out_d, aux["b"])
+        unpacked = _unpack_results_fast(out_d, aux["b"], aux["bits"])
         for (si, bi), used, (ptr, m, ties, syms, freq) in zip(
             chunk, aux["useds"], unpacked
         ):
@@ -468,17 +575,131 @@ def _drain_into(results, per_stream_blocks, item, n_max, mode="ranks"):
         results[(si, bi)] = res
 
 
-def _unpack_results_fast(out_d, b):
+def _drain_fast_huff(results, per_stream_blocks, chunk, handles, aux, n_max):
+    """Finish a fast_huff batch: 4 device cost/select refinement rounds
+    interleaved with host code-length heaps (the only sequential part of
+    bzip2's sendMTFValues, reference compress.c:239-600 via the bundled
+    tarball), then one device bit-pack emit; the host writes only block
+    headers and splices the packed words.  Any block with sort ties or
+    an emit overflow falls back to the host encoder (bytes identical)."""
+    import jax.numpy as jnp
+
+    from starch3_tpu.codec import huffman
+    from starch3_tpu.codec.encoder import encode_block_fragment, write_block_header
+    from starch3_tpu.ops.huff_jax import ALPHA_MAX, GROUP_SIZE
+
+    small_d, syms_d, m_d, hist_d = handles
+    b = aux["b"]
+    small = np.asarray(small_d)
+    ptrs = small[:, 0]
+    ms = small[:, 1]
+    ties = small[:, 2]
+    freqs = small[:, 3:263]
+    b_pad = small.shape[0]
+
+    # host: initial tables + refinement bookkeeping (padded to 6 tables)
+    lens = np.zeros((b_pad, 6, ALPHA_MAX), dtype=np.int32)
+    masks = np.zeros((b_pad, 6), dtype=bool)
+    n_groups = np.zeros(b_pad, dtype=np.int64)
+    alphas = np.zeros(b_pad, dtype=np.int64)
+    for i in range(b):
+        used = aux["useds"][i]
+        alpha = int(used.sum()) + 2
+        m = int(ms[i])
+        ng = huffman.n_groups_for(m)
+        init = huffman.initial_lengths(freqs[i][:alpha].astype(np.int64), alpha, m)
+        lens[i, :ng, :alpha] = init
+        lens[i, :ng, alpha:] = huffman.GREATER_ICOST
+        masks[i, :ng] = True
+        n_groups[i] = ng
+        alphas[i] = alpha
+    masks[b:, 0] = True  # padding rows: keep argmin well-defined
+
+    cost_select = _jitted_cost_select()
+    sel_d = None
+    for _ in range(huffman.N_ITERS):
+        sel_d, rfreq_d = cost_select(
+            hist_d, jnp.asarray(lens), jnp.asarray(masks)
+        )
+        rfreq = np.asarray(rfreq_d)
+        for i in range(b):
+            alpha = int(alphas[i])
+            for t in range(int(n_groups[i])):
+                lens[i, t, :alpha] = huffman.make_code_lengths(
+                    rfreq[i, t, :alpha].astype(np.int64), alpha
+                )
+
+    # canonical codes -> packed (code << 5) | len LUT per block
+    luts = np.zeros((b_pad, 6 * ALPHA_MAX), dtype=np.int32)
+    for i in range(b):
+        alpha = int(alphas[i])
+        for t in range(int(n_groups[i])):
+            codes = huffman.assign_codes(lens[i, t, :alpha].astype(np.int64))
+            luts[i, t * ALPHA_MAX : t * ALPHA_MAX + alpha] = (
+                codes.astype(np.int64) << 5
+            ) | lens[i, t, :alpha]
+
+    words_d, totals_d = _jitted_emit_coded(n_max)(
+        syms_d, m_d, sel_d, jnp.asarray(luts)
+    )
+    sel = np.asarray(sel_d)
+    words = np.asarray(words_d)
+    totals = np.asarray(totals_d)
+    w_cap = _emit_w_cap(n_max)
+
+    for i, (si, bi) in enumerate(chunk):
+        m = int(ms[i])
+        total = int(totals[i])
+        if int(ties[i]) != 0 or total > 32 * w_cap:
+            results[(si, bi)] = encode_block_fragment(per_stream_blocks[si][bi])
+            continue
+        blk = per_stream_blocks[si][bi]
+        n_sel = (m + GROUP_SIZE - 1) // GROUP_SIZE
+        selectors = sel[i, :n_sel].astype(np.int64)
+        # selector MTF (host; 6-entry list)
+        pos = list(range(int(n_groups[i])))
+        sel_mtf = np.empty(n_sel, dtype=np.int64)
+        for k, s in enumerate(selectors.tolist()):
+            j = pos.index(s)
+            sel_mtf[k] = j
+            pos.pop(j)
+            pos.insert(0, s)
+        frag = BitWriter()
+        alpha = int(alphas[i])
+        write_block_header(
+            frag,
+            blk.crc,
+            int(ptrs[i]),
+            aux["useds"][i],
+            int(n_groups[i]),
+            lens[i, : int(n_groups[i]), :alpha].astype(np.int64),
+            sel_mtf,
+        )
+        # splice the device-packed words: whole bytes + a <8-bit tail
+        raw = words[i, : (total + 31) // 32].astype(">u4").tobytes()
+        full_bytes = total // 8
+        tail_bits = total % 8
+        dev = BitWriter()
+        dev._out += raw[:full_bytes]
+        if tail_bits:
+            dev._acc = raw[full_bytes] >> (8 - tail_bits)
+            dev._nbits = tail_bits
+        frag.append_writer(dev)
+        results[(si, bi)] = frag
+
+
+def _unpack_results_fast(out_d, b, bits):
     out = np.asarray(out_d)  # one transfer for the whole batch
+    spw, sb, mask = (6, 5, 31) if bits == 4 else (2, 16, 0xFFFF)
     res = []
     for i in range(b):
         row = out[i]
         ptr, m, ties = int(row[0]), int(row[1]), int(row[2])
         freq = row[3:263]
         packed = row[263:]
-        syms = np.empty(packed.size * 2, dtype=np.int32)
-        syms[0::2] = packed & 0xFFFF
-        syms[1::2] = (packed >> 16) & 0xFFFF
+        syms = np.empty(packed.size * spw, dtype=np.int32)
+        for k in range(spw):
+            syms[k::spw] = (packed >> (sb * k)) & mask
         res.append((ptr, m, ties, syms[:m], freq))
     return res
 
@@ -494,6 +715,7 @@ def jax_bz2_compress(data: bytes, config=None, mesh=None, n_max: int | None = No
         batch_size=batch_size,
         device_rle2=getattr(config, "device_rle2", False),
         fast_bwt=getattr(config, "fast_bwt", True),
+        device_huffman=getattr(config, "device_huffman", False),
     )[0].data
 
 
@@ -511,7 +733,7 @@ def _dispatch_chunk(block_datas, n_max, mesh, mode="ranks"):
     batch = np.zeros((b_pad, n_max), dtype=np.uint8)
     pallas_mtf = _use_pallas_mtf(mesh)
 
-    if mode == "fast":
+    if mode in ("fast", "fast_huff"):
         nsyms = np.ones(b_pad, dtype=np.int32)
         useds = []
         for i, data in enumerate(block_datas):
@@ -528,9 +750,22 @@ def _dispatch_chunk(block_datas, n_max, mesh, mode="ranks"):
         # alphabet <= 16, the common case for transformed BED), 8 bits
         # handles any byte content at 16 symbols of context
         bits = 4 if nsyms[:b].max() <= 16 else 8
+        if bits == 4:
+            # 2 symbols per uploaded byte (the step unpacks); upload is
+            # the other half of the tunnel bill
+            batch = batch[:, 0::2] | (batch[:, 1::2] << 4)
         arrays = _put_batch((batch, lens, nsyms), mesh)
+        if mode == "fast_huff":
+            small_d, syms_d = _jitted_fused_step_fast2(n_max, bits, pallas_mtf)(
+                *arrays
+            )
+            # group histograms launch immediately so they overlap the
+            # next batch's upload; m rides along on device
+            m_d = small_d[:, 1]
+            hist_d = _jitted_group_hist(n_max)(syms_d, m_d)
+            return (small_d, syms_d, m_d, hist_d), {"b": b, "useds": useds}
         out_d = _jitted_fused_step_fast(n_max, bits, pallas_mtf)(*arrays)
-        return out_d, {"b": b, "useds": useds}
+        return out_d, {"b": b, "useds": useds, "bits": bits}
 
     for i, data in enumerate(block_datas):
         arr = np.frombuffer(data, dtype=np.uint8)

@@ -32,9 +32,14 @@ _tried = False
 
 
 def _build() -> bool:
+    # STARCH3_TPU_NO_SIMD forces the scalar paths (CI coverage for the
+    # non-SSSE3 fallbacks); STARCH3_TPU_CFLAGS appends arbitrary flags
+    # (the sanitizer CI job injects -fsanitize=address,undefined here)
+    arch = [] if os.environ.get("STARCH3_TPU_NO_SIMD") else ["-march=native"]
+    extra = os.environ.get("STARCH3_TPU_CFLAGS", "").split()
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-std=c++17", "-o", _SO, _SRC,
+        "g++", "-O3", *arch, "-shared", "-fPIC",
+        "-std=c++17", *extra, "-o", _SO, _SRC,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)

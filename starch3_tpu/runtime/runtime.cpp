@@ -1809,8 +1809,13 @@ int64_t s3_encode_tail(const uint16_t* syms, int64_t n_mtf,
                        const uint8_t* in_use_u8, int64_t orig_ptr,
                        uint32_t crc, uint8_t* out, int64_t out_cap,
                        uint64_t* tail, int32_t* tail_nbits) {
-    if (n_mtf <= 0) return -1;
+    if (n_mtf <= 0 || n_in_use <= 0 || n_in_use > 256) return -1;
     const int alpha = n_in_use + 2;
+    // reject out-of-range symbols up front: this entry takes data from
+    // the device pipeline, and a mis-unpacked stream must fail loudly
+    // (return -1 -> caller falls back), never index out of bounds
+    for (int64_t i = 0; i < n_mtf; i++)
+        if (syms[i] >= alpha) return -1;
     bool in_use[256];
     for (int c = 0; c < 256; c++) in_use[c] = in_use_u8[c] != 0;
     int64_t freq[258];

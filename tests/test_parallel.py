@@ -104,6 +104,32 @@ class TestDeviceRle2Pipeline:
         assert a == compress_bed_bytes(bed, EncodeConfig(use_jax=False))
         assert decompress_starch_bytes(a) == bed
 
+    def test_device_huffman_byte_identical(self, rng):
+        """use_jax + device_huffman: Huffman group costing (cost/select
+        matmuls) and coded-data bit packing run on device; only the
+        length heaps, headers, and splicing stay host-side.  Archive
+        bytes identical to the host path."""
+        from starch3_tpu.api import compress_bed_bytes, decompress_starch_bytes
+        from starch3_tpu.config import EncodeConfig
+
+        parts = []
+        for c in (1, 2, 3):
+            starts = np.cumsum(rng.integers(1, 500, 1800))
+            parts.append(
+                b"".join(
+                    b"chr%d\t%d\t%d\n" % (c, s, s + int(l))
+                    for s, l in zip(
+                        starts.tolist(), rng.integers(1, 300, 1800).tolist()
+                    )
+                )
+            )
+        bed = b"".join(parts)
+        a = compress_bed_bytes(
+            bed, EncodeConfig(use_jax=True, device_huffman=True)
+        )
+        assert a == compress_bed_bytes(bed, EncodeConfig(use_jax=False))
+        assert decompress_starch_bytes(a) == bed
+
 
 class TestDeviceDecode:
     """parallel/pipeline.decode_streams: the device decode mirror."""
