@@ -471,7 +471,9 @@ def encode_streams(
             offsets.append(bw.bit_length)
             crcs.append(blk.crc)
             combined = combine_block_crc(combined, blk.crc)
-            if isinstance(res, BitWriter):  # host fallback fragment
+            if hasattr(res, "result"):  # tail-pool future -> fragment
+                res = res.result()
+            if isinstance(res, BitWriter):  # pre-built fragment
                 bw.append_writer(res)
             elif len(res) == 4:  # device-RLE2: (used, ptr, symbols, freq)
                 in_use, ptr, syms, freq = res
@@ -551,12 +553,18 @@ def _drain_into(results, per_stream_blocks, item, n_max, mode="ranks"):
     if mode == "fast_huff":
         return _drain_fast_huff(results, per_stream_blocks, chunk, out_d, aux, n_max)
     if mode == "fast":
-        unpacked = _unpack_results_fast(out_d, aux["b"], aux["bits"])
-        for (si, bi), used, (ptr, m, ties, syms, freq) in zip(
-            chunk, aux["useds"], unpacked
-        ):
-            if ties == 0:
-                results[(si, bi)] = (used, ptr, syms, freq)
+        out = np.asarray(out_d)  # one transfer for the whole batch
+        for i, ((si, bi), used) in enumerate(zip(chunk, aux["useds"])):
+            if int(out[i, 2]) == 0:  # ties == 0
+                # symbol unpacking + the per-block tail (native Huffman
+                # + serialization) run on a side executor so the drain
+                # thread goes straight back to waiting on the device;
+                # assembly resolves the futures in stream order
+                results[(si, bi)] = _tail_pool().submit(
+                    _fragment_from_row,
+                    out[i], aux["bits"], used,
+                    per_stream_blocks[si][bi].crc,
+                )
             else:
                 # ambiguous prefix order: re-encode exactly on the host
                 # (rare: periodic/highly repetitive blocks only)
@@ -688,20 +696,35 @@ def _drain_fast_huff(results, per_stream_blocks, chunk, handles, aux, n_max):
         results[(si, bi)] = frag
 
 
-def _unpack_results_fast(out_d, b, bits):
-    out = np.asarray(out_d)  # one transfer for the whole batch
+_TAIL_POOL = None
+
+
+def _tail_pool():
+    """Shared 2-thread executor for per-block tail encodes (the native
+    entry releases the GIL, so these overlap device transfers)."""
+    global _TAIL_POOL
+    if _TAIL_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _TAIL_POOL = ThreadPoolExecutor(2, thread_name_prefix="s3tail")
+    return _TAIL_POOL
+
+
+def _fragment_from_row(row, bits, used, crc):
+    """One block's bitstream fragment from a packed result row:
+    [ptr, m, ties, freq[260], packed syms] (see _jitted_fused_step_fast)."""
+    from starch3_tpu.codec.encoder import write_block_from_device_syms
+
+    ptr, m = int(row[0]), int(row[1])
+    freq = row[3:263]
+    packed = row[263:]
     spw, sb, mask = (6, 5, 31) if bits == 4 else (2, 16, 0xFFFF)
-    res = []
-    for i in range(b):
-        row = out[i]
-        ptr, m, ties = int(row[0]), int(row[1]), int(row[2])
-        freq = row[3:263]
-        packed = row[263:]
-        syms = np.empty(packed.size * spw, dtype=np.int32)
-        for k in range(spw):
-            syms[k::spw] = (packed >> (sb * k)) & mask
-        res.append((ptr, m, ties, syms[:m], freq))
-    return res
+    syms = np.empty(packed.size * spw, dtype=np.int32)
+    for k in range(spw):
+        syms[k::spw] = (packed >> (sb * k)) & mask
+    frag = BitWriter()
+    write_block_from_device_syms(frag, crc, ptr, syms[:m], freq, used)
+    return frag
 
 
 def jax_bz2_compress(data: bytes, config=None, mesh=None, n_max: int | None = None) -> bytes:
