@@ -37,6 +37,10 @@ import time
 
 import numpy as np
 
+# persistent XLA compilation cache: the device-path programs take
+# minutes to compile cold; cache them across processes/rounds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
 
 def make_genome_bed(n_per: int = 45_000, seed: int = 5) -> bytes:
     rng = np.random.default_rng(seed)
@@ -91,8 +95,12 @@ def main() -> int:
         from starch3_tpu.config import EncodeConfig
         from starch3_tpu.parallel.pipeline import encode_streams
 
+        from starch3_tpu.observability import StageTimer
+
         bed = make_genome_bed()
         dt, archive = measure_encode(bed, use_jax=True, reps=4)
+        stage_timer = StageTimer()
+        compress_bed_bytes(bed, EncodeConfig(use_jax=True), timer=stage_timer)
         host_archive = compress_bed_bytes(bed, EncodeConfig(use_jax=False))
         texts = [tf.text for tf in _parse_transform(bed)]
         encode_streams(texts, host_assist=False)
@@ -110,6 +118,7 @@ def main() -> int:
                     "identical_to_host": archive == host_archive,
                     "device_only_seconds": dev_dt,
                     "transformed_bytes": sum(map(len, texts)),
+                    "stages": stage_timer.report(),
                 }
             )
             + "\n"
@@ -160,7 +169,7 @@ def main() -> int:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--jax-worker"],
                 capture_output=True,
-                timeout=540,
+                timeout=900,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             if r.returncode == 0:
@@ -182,6 +191,7 @@ def main() -> int:
             "device_only_mb_s_input_equiv": round(
                 jax["in"] / jax["device_only_seconds"] / 1e6, 3
             ),
+            "jax_path_stages": jax.get("stages", {}),
         }
     else:
         mbps = host_mbps

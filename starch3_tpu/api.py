@@ -189,11 +189,17 @@ def _parse_transform(data: bytes):
     return [transform_chrom(b) for b in parse_bed(data)]
 
 
-def compress_bed_bytes(data: bytes, config: EncodeConfig | None = None) -> bytes:
-    """BED text -> .starch archive bytes."""
+def compress_bed_bytes(
+    data: bytes, config: EncodeConfig | None = None, timer=None
+) -> bytes:
+    """BED text -> .starch archive bytes.
+
+    ``timer``: optional observability.StageTimer; per-stage wall time and
+    throughput accumulate into it (bench.py reads it for the per-stage
+    breakdown)."""
     from starch3_tpu.observability import StageTimer, logger
 
-    timer = StageTimer()
+    timer = timer if timer is not None else StageTimer()
     config = config or EncodeConfig()
     writer = StarchWriter(
         note=config.note,

@@ -128,28 +128,61 @@ def _jitted_fused_step(n_max: int, pallas_mtf: bool = False):
     return jax.jit(step)
 
 
-@functools.lru_cache(maxsize=8)
-def _jitted_fused_step_fast(n_max: int, bits: int, pallas_mtf: bool = False):
-    """One-sort BWT (ops/bwt_fast.py) -> MTF -> RLE2, one dispatch.
+# The fast path runs as TWO chained jitted programs (BWT+MTF, then
+# RLE2+pack) rather than one: the monolithic fusion compiled in ~9.5
+# minutes at the 458k geometry (an XLA pass blowup) while the halves
+# compile in well under a minute each; the split costs one extra
+# dispatch per batch and keeps the ranks intermediate in HBM.
 
-    The production device step: rotations are sorted once by a packed
-    multi-symbol prefix key instead of O(log n) doubling rounds; the
-    per-block ``ties`` scalar travels home with the results so the host
-    can re-encode the rare ambiguous blocks through the exact path.
-    Inputs are host-side dense-remapped symbols (uint8) so the key pack
-    width (``bits``) is static and the used-byte map never needs to be
-    recovered on device.
+
+@functools.lru_cache(maxsize=8)
+def _jitted_bwt_mtf_fast(n_max: int, bits: int, pallas_mtf: bool = False):
+    """One-sort BWT (ops/bwt_fast.py) -> MTF ranks.
+
+    Rotations are sorted once by a packed multi-symbol prefix key
+    instead of O(log n) doubling rounds; the per-block ``ties`` scalar
+    lets the host re-encode the rare ambiguous blocks exactly.  Inputs
+    are host-side dense-remapped symbols so the key pack width
+    (``bits``) is static; with bits==4 they arrive 2 per byte.
     """
     import jax
     import jax.numpy as jnp
 
     from starch3_tpu.ops.bwt_fast import bwt_sort_fast
+
+    def step(seqs, lens):
+        if bits == 4:
+            # inputs arrive 2 symbols per byte (see _dispatch_chunk)
+            lo = (seqs & 0xF).astype(jnp.int32)
+            hi = (seqs >> 4).astype(jnp.int32)
+            seqs = jnp.stack([lo, hi], axis=-1).reshape(seqs.shape[0], n_max)
+        lasts, ptrs, ties = jax.vmap(
+            lambda s, n: bwt_sort_fast(s.astype(jnp.int32), n, n_max, bits)
+        )(seqs, lens)
+        # bits==4 implies a dense alphabet <= 16, so the narrow MTF
+        # one-hot is always sufficient there
+        ranks = _batch_ranks(
+            lasts, lens, n_max, pallas_mtf, width=128 if bits == 4 else 256
+        )
+        return ptrs, ties, ranks
+
+    return jax.jit(step)
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_rle2_pack(n_max: int, bits: int):
+    """RLE2 + download packing over the BWT+MTF program's outputs.
+
+    With a 4-bit alphabet every RLE2 symbol is <= n_in_use + 1 <= 17
+    < 32, so 6 symbols fit a 5-bit-packed int32 word — 3x less transfer
+    than the generic 2x16-bit pack.  The tunnel/PCIe download is the
+    device path's scarcest resource.
+    """
+    import jax
+    import jax.numpy as jnp
+
     from starch3_tpu.ops.rle2_jax import rle2_from_ranks_padded
 
-    # download packing: with a 4-bit alphabet every RLE2 symbol is
-    # <= n_in_use + 1 <= 17 < 32, so 6 symbols fit a 5-bit-packed int32
-    # word — 3x less transfer than the generic 2x16-bit pack.  The
-    # tunnel/PCIe download is the device path's scarcest resource.
     spw = 6 if bits == 4 else 2  # symbols per word
     sb = 5 if bits == 4 else 16  # bits per symbol
     n_words = (n_max + 2 + spw - 1) // spw
@@ -167,48 +200,34 @@ def _jitted_fused_step_fast(n_max: int, bits: int, pallas_mtf: bool = False):
             [ptr[None], m[None], ties[None], freq, packed]
         )
 
-    def step(seqs, lens, nsyms):
-        if bits == 4:
-            # inputs arrive 2 symbols per byte (see _dispatch_chunk)
-            lo = (seqs & 0xF).astype(jnp.int32)
-            hi = (seqs >> 4).astype(jnp.int32)
-            seqs = jnp.stack([lo, hi], axis=-1).reshape(seqs.shape[0], n_max)
-        lasts, ptrs, ties = jax.vmap(
-            lambda s, n: bwt_sort_fast(s.astype(jnp.int32), n, n_max, bits)
-        )(seqs, lens)
-        # bits==4 implies a dense alphabet <= 16, so the narrow MTF
-        # one-hot is always sufficient there
-        ranks = _batch_ranks(
-            lasts, lens, n_max, pallas_mtf, width=128 if bits == 4 else 256
-        )
+    def step(ptrs, ties, ranks, lens, nsyms):
         return jax.vmap(tail_one)(ptrs, ties, ranks, lens, nsyms)
 
     return jax.jit(step)
 
 
+def _jitted_fused_step_fast(n_max: int, bits: int, pallas_mtf: bool = False):
+    """The production fast step as the two chained programs above."""
+    step_a = _jitted_bwt_mtf_fast(n_max, bits, pallas_mtf)
+    step_b = _jitted_rle2_pack(n_max, bits)
+
+    def step(seqs, lens, nsyms):
+        ptrs, ties, ranks = step_a(seqs, lens)
+        return step_b(ptrs, ties, ranks, lens, nsyms)
+
+    return step
+
+
 @functools.lru_cache(maxsize=8)
-def _jitted_fused_step_fast2(n_max: int, bits: int, pallas_mtf: bool = False):
-    """fast step variant for the device-Huffman tail: the RLE2 symbol
-    stream STAYS on device (returned as an array the Huffman/bit-pack
-    stages consume in place); only [ptr, m, ties] + freq go home."""
+def _jitted_rle2_raw(n_max: int):
+    """RLE2 for the device-Huffman tail: the symbol stream STAYS on
+    device; only [ptr, m, ties] + freq go home."""
     import jax
     import jax.numpy as jnp
 
-    from starch3_tpu.ops.bwt_fast import bwt_sort_fast
     from starch3_tpu.ops.rle2_jax import rle2_from_ranks_padded
 
-    def step(seqs, lens, nsyms):
-        if bits == 4:
-            # inputs arrive 2 symbols per byte (see _dispatch_chunk)
-            lo = (seqs & 0xF).astype(jnp.int32)
-            hi = (seqs >> 4).astype(jnp.int32)
-            seqs = jnp.stack([lo, hi], axis=-1).reshape(seqs.shape[0], n_max)
-        lasts, ptrs, ties = jax.vmap(
-            lambda s, n: bwt_sort_fast(s.astype(jnp.int32), n, n_max, bits)
-        )(seqs, lens)
-        ranks = _batch_ranks(
-            lasts, lens, n_max, pallas_mtf, width=128 if bits == 4 else 256
-        )
+    def step(ptrs, ties, ranks, lens, nsyms):
         syms, m, freq = jax.vmap(
             lambda r, n, a: rle2_from_ranks_padded(r, n, a, n_max)
         )(ranks, lens, nsyms)
@@ -218,6 +237,19 @@ def _jitted_fused_step_fast2(n_max: int, bits: int, pallas_mtf: bool = False):
         return small, syms
 
     return jax.jit(step)
+
+
+def _jitted_fused_step_fast2(n_max: int, bits: int, pallas_mtf: bool = False):
+    """fast_huff's front half as the chained programs (see the split
+    note above _jitted_bwt_mtf_fast)."""
+    step_a = _jitted_bwt_mtf_fast(n_max, bits, pallas_mtf)
+    step_b = _jitted_rle2_raw(n_max)
+
+    def step(seqs, lens, nsyms):
+        ptrs, ties, ranks = step_a(seqs, lens)
+        return step_b(ptrs, ties, ranks, lens, nsyms)
+
+    return step
 
 
 @functools.lru_cache(maxsize=8)
