@@ -410,7 +410,7 @@ def encode_streams(
     texts: list[bytes],
     level: int = 9,
     mesh=None,
-    batch_size: int = 4,
+    batch_size: int = 2,
     device_rle2: bool = False,
     fast_bwt: bool = True,
     host_assist: bool | None = None,
@@ -762,7 +762,7 @@ def _fragment_from_row(row, bits, used, crc):
 def jax_bz2_compress(data: bytes, config=None, mesh=None, n_max: int | None = None) -> bytes:
     """bzip2-compatible compression with the heavy stages on device."""
     level = config.block_size_100k if config is not None else 9
-    batch_size = getattr(config, "blocks_per_batch", 4) if config else 4
+    batch_size = getattr(config, "blocks_per_batch", 2) if config else 2
     return encode_streams(
         [data],
         level=level,

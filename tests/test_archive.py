@@ -221,9 +221,9 @@ class TestStreamingJaxQueue:
 class TestGigabyteScale:
     """BASELINE configs 4-5 regime: a >= 1 GB corpus through the
     streaming encode/decode paths with bounded memory (round-1 VERDICT
-    missing #5).  The corpus is generated by a SUBPROCESS so this
-    process's peak RSS measures only the product paths, and it is
-    consumed in chunks — it never lives in test memory as one object."""
+    missing #5).  Both the generator AND the encode/decode run in
+    SUBPROCESSES so peak-RSS measures only the product paths — immune
+    to whatever earlier tests inflated this process's ru_maxrss to."""
 
     GEN = r'''
 import hashlib, sys
@@ -252,19 +252,41 @@ with open(out, "wb") as f:
 print(digest.hexdigest(), written)
 '''
 
-    def _peak_rss_mb(self):
-        import resource
+    # child worker: encode + decode with this process's own (clean)
+    # ru_maxrss as the memory witness; prints one JSON result line
+    RUN = r'''
+import hashlib, json, resource, sys, time
+from starch3_tpu.api import compress_bed_file, decompress_starch_file
+in_path, out_path, in_digest, written = (
+    sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4]))
 
-        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+t0 = time.perf_counter()
+with open(out_path, "wb") as fh:
+    compress_bed_file(in_path, fh)
+enc_dt = time.perf_counter() - t0
+
+class Hasher:
+    def __init__(self):
+        self.h = hashlib.sha256(); self.n = 0
+    def write(self, b):
+        self.h.update(b); self.n += len(b)
+
+sink = Hasher()
+t0 = time.perf_counter()
+decompress_starch_file(out_path, sink)
+dec_dt = time.perf_counter() - t0
+print(json.dumps({
+    "enc_dt": enc_dt, "dec_dt": dec_dt,
+    "out_n": sink.n, "out_digest": sink.h.hexdigest(),
+    "peak_rss_mb": resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024,
+}))
+'''
 
     def test_1gb_round_trip_bounded_memory(self, tmp_path):
-        import hashlib
+        import json
         import os
         import subprocess
         import sys
-        import time
-
-        from starch3_tpu.api import compress_bed_file, decompress_starch_file
 
         target = 1_100_000_000  # > 1 GB
         in_path = tmp_path / "big.bed"
@@ -278,36 +300,30 @@ print(digest.hexdigest(), written)
         in_digest, written = r.stdout.split()
         in_digest, written = in_digest.decode(), int(written)
         assert written >= 1_000_000_000
-        rss_baseline = self._peak_rss_mb()
 
+        run_script = tmp_path / "run.py"
+        run_script.write_text(self.RUN)
         out_path = tmp_path / "big.starch"
-        t0 = time.perf_counter()
-        with open(out_path, "wb") as fh:
-            compress_bed_file(str(in_path), fh)
-        enc_dt = time.perf_counter() - t0
-        rss_after_encode = self._peak_rss_mb()
-        os.unlink(in_path)  # disk space: the digest is the witness
-
-        class _Hasher:
-            def __init__(self):
-                self.h = hashlib.sha256()
-                self.n = 0
-            def write(self, b):
-                self.h.update(b)
-                self.n += len(b)
-
-        sink = _Hasher()
-        t0 = time.perf_counter()
-        decompress_starch_file(str(out_path), sink)
-        dec_dt = time.perf_counter() - t0
-        assert sink.n == written
-        assert sink.h.hexdigest() == in_digest, "1 GB round trip not byte-exact"
-        peak = self._peak_rss_mb()
+        r = subprocess.run(
+            [sys.executable, str(run_script), str(in_path), str(out_path),
+             in_digest, str(written)],
+            capture_output=True, timeout=600,
+            env={
+                **os.environ,
+                "PYTHONPATH": os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__))
+                ),
+            },
+        )
+        assert r.returncode == 0, r.stderr.decode()[-2000:]
+        res = json.loads(r.stdout.decode().strip().splitlines()[-1])
+        assert res["out_n"] == written
+        assert res["out_digest"] == in_digest, "1 GB round trip not byte-exact"
+        peak = res["peak_rss_mb"]
         print(
-            f"\n1GB scale: encode {written/enc_dt/1e6:.1f} MB/s, "
-            f"decode {written/dec_dt/1e6:.1f} MB/s, peak RSS {peak:.0f} MB "
-            f"(pre-encode baseline {rss_baseline:.0f} MB, "
-            f"after encode {rss_after_encode:.0f} MB)"
+            f"\n1GB scale: encode {written/res['enc_dt']/1e6:.1f} MB/s, "
+            f"decode {written/res['dec_dt']/1e6:.1f} MB/s, "
+            f"peak RSS {peak:.0f} MB"
         )
         # constant-memory claim: peak RSS stays ~0.5x this corpus and,
         # more importantly, is CORPUS-INDEPENDENT: the bound is the fixed
