@@ -189,6 +189,99 @@ def _parse_transform(data: bytes):
     return [transform_chrom(b) for b in parse_bed(data)]
 
 
+class _FeedFallback(Exception):
+    """Streaming parse hit something the incremental path can't express
+    (native runtime unavailable, parse error, duplicate chromosome):
+    redo through the one-shot path, which produces exact diagnostics."""
+
+
+def _iter_parse_transform(data: bytes, chunk_bytes: int = 4 << 20):
+    """Sequential chunked native parse+transform: yields each chromosome's
+    TransformedChrom as soon as its raw span is complete, so the encode
+    pipeline (parallel/pipeline.encode_streams_feed) is already
+    compressing early chromosomes while later ones are still being
+    tokenized — the streaming rebuild of the reference's producer thread
+    (starch3api.hpp:158-199), with a whole chunk per handoff instead of
+    one line under one mutex.
+
+    A chromosome whose lines span a chunk boundary is re-transformed
+    once from its merged raw span when its end is found (same merge
+    contract as _parse_transform_chunked).  Raises _FeedFallback when
+    the one-shot path must take over.
+    """
+    from starch3_tpu.runtime import bed_transform_native
+    from starch3_tpu.transform.delta import TransformedChrom
+
+    from starch3_tpu.runtime import get_lib
+
+    if get_lib() is None or not data:
+        raise _FeedFallback()
+
+    seen: set = set()
+
+    def mk(g) -> TransformedChrom:
+        c, text, lc, nu, u, _off = g
+        if c in seen:
+            raise _FeedFallback()  # duplicate chromosome: exact error path
+        seen.add(c)
+        return TransformedChrom(
+            chrom=c,
+            text=text,
+            line_count=lc,
+            base_count_nonunique=nu,
+            base_count_unique=u,
+        )
+
+    n = len(data)
+    pos = 0
+    # pending chromosome possibly continuing into the next chunk:
+    # (name, abs_start, abs_end, group_or_None). group is the native
+    # result when the span never crossed a boundary (emit as-is);
+    # None after a merge (re-transform the raw span on finalize).
+    pending = None
+
+    def finalize(p) -> TransformedChrom:
+        name, lo, hi, group = p
+        if group is not None:
+            return mk(group)
+        merged = bed_transform_native(data[lo:hi])
+        if merged is None or len(merged) != 1:
+            raise _FeedFallback()
+        return mk(merged[0])
+
+    while pos < n:
+        if n - pos <= chunk_bytes:
+            end = n
+        else:
+            cut = data.find(b"\n", pos + chunk_bytes)
+            end = n if cut < 0 else cut + 1
+        groups = bed_transform_native(data[pos:end])
+        if groups is None:
+            raise _FeedFallback()
+        if groups:
+            offs = [pos + g[5] for g in groups]
+            if (
+                pending is not None
+                and groups[0][0] == pending[0]
+                and data[pending[2] : offs[0]].strip(b"\n") == b""
+            ):
+                # first group continues the pending chromosome
+                g_end = offs[1] if len(groups) > 1 else end
+                pending = (pending[0], pending[1], g_end, None)
+                groups = groups[1:]
+                offs = offs[1:]
+            if groups:
+                if pending is not None:
+                    yield finalize(pending)
+                for k, g in enumerate(groups[:-1]):
+                    yield mk(g)
+                g_last = groups[-1]
+                pending = (g_last[0], offs[-1], end, g_last)
+        pos = end
+    if pending is not None:
+        yield finalize(pending)
+
+
 def compress_bed_bytes(
     data: bytes, config: EncodeConfig | None = None, timer=None
 ) -> bytes:
@@ -206,11 +299,45 @@ def compress_bed_bytes(
         compression=config.method.value,
         final_newline=(not data) or data.endswith(b"\n"),
     )
-    with timer.stage("parse+transform", len(data)):
-        transformed = _parse_transform(data)
+    transformed = None
+    streams = None
+    if config.use_jax and config.method is CompressionMethod.BZIP2:
+        # streaming pipeline: the chunked native parser feeds each
+        # chromosome into the global device queue the moment its raw
+        # span completes, so device batches and stealer cores are
+        # already encoding while the parser is still tokenizing — the
+        # TPU rebuild of the reference's producer/consumer pipeline
+        # (SURVEY.md §2 C8-C12) at chunk granularity
+        from starch3_tpu.parallel.pipeline import encode_streams_feed
+
+        with timer.stage("parse+compress (pipelined)", len(data)):
+            transformed = []
+
+            def _gen():
+                for tc in _iter_parse_transform(data):
+                    transformed.append(tc)
+                    yield tc.text
+
+            try:
+                streams = encode_streams_feed(
+                    _gen(),
+                    level=config.block_size_100k,
+                    batch_size=config.blocks_per_batch,
+                    device_rle2=config.device_rle2,
+                    fast_bwt=config.fast_bwt,
+                    device_huffman=config.device_huffman,
+                )
+            except _FeedFallback:
+                transformed = None
+                streams = None
+    if streams is None:
+        with timer.stage("parse+transform", len(data)):
+            transformed = _parse_transform(data)
     total_text = sum(len(tf.text) for tf in transformed)
     with timer.stage("compress", total_text):
-        if config.use_jax and config.method is CompressionMethod.BZIP2 and transformed:
+        if streams is not None:
+            pass  # already encoded by the pipelined path above
+        elif config.use_jax and config.method is CompressionMethod.BZIP2 and transformed:
             # one global device queue across all chromosomes: blocks from
             # every stream share batches, so N small chromosomes cost
             # ~N/batch dispatches instead of N (parallel/pipeline.py)

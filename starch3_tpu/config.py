@@ -57,12 +57,12 @@ class EncodeConfig:
     #: on the NumPy oracle when False
     use_jax: bool = False
     #: number of 900 kB blocks batched per device dispatch on the JAX
-    #: path.  2 balances dispatch amortization against the hybrid
-    #: scheduler's claim granularity (measured best on the bench corpus:
-    #: the device pre-claims two batches for software pipelining, and
-    #: over-claiming starves the host-assist stealers when host cores
-    #: are the faster tier)
-    blocks_per_batch: int = 2
+    #: path.  3 balances dispatch amortization against the hybrid
+    #: scheduler's claim granularity (swept on the bench corpus with
+    #: the streaming feeder; the post-feeding tail is protected by the
+    #: scheduler's stealer reserve, so bigger batches no longer risk a
+    #: device straggler)
+    blocks_per_batch: int = 3
     #: extend the fused device step through RLE2 (ops/rle2_jax.py), so
     #: the download is the coded symbol stream rather than MTF ranks.
     #: Default off: it lengthens the device program's one-time compile,

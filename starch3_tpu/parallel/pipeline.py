@@ -410,7 +410,7 @@ def encode_streams(
     texts: list[bytes],
     level: int = 9,
     mesh=None,
-    batch_size: int = 2,
+    batch_size: int = 3,
     device_rle2: bool = False,
     fast_bwt: bool = True,
     host_assist: bool | None = None,
@@ -435,60 +435,76 @@ def encode_streams(
     Output bytes are identical regardless of the split, so the archive
     stays deterministic — this is throughput scheduling, not semantics.
     """
+    return encode_streams_feed(
+        iter(texts),
+        level=level,
+        mesh=mesh,
+        batch_size=batch_size,
+        device_rle2=device_rle2,
+        fast_bwt=fast_bwt,
+        host_assist=host_assist,
+        device_huffman=device_huffman,
+    )
+
+
+def encode_streams_feed(
+    text_iter,
+    level: int = 9,
+    mesh=None,
+    batch_size: int = 3,
+    device_rle2: bool = False,
+    fast_bwt: bool = True,
+    host_assist: bool | None = None,
+    device_huffman: bool = False,
+) -> list:  # list[codec.encoder.EncodedStream]
+    """``encode_streams`` over a *stream* of texts: encoding begins while
+    later texts are still being produced (the caller's iterator runs on
+    this thread — typically the chunked native parser, api.py
+    ``_iter_parse_transform``), so the device and the stealer cores are
+    already encoding the first chromosomes while the parser is still
+    tokenizing the last ones.  Output bytes are identical to the list
+    form; only scheduling differs.
+    """
     if fast_bwt:
         mode = "fast_huff" if device_huffman else "fast"
     else:
         mode = "rle2" if device_rle2 else "ranks"
-    per_stream_blocks = [rle1_split_blocks(t, level) for t in texts]
-    flat: list[tuple[int, int]] = []  # (stream_idx, block_idx)
-    for si, blocks in enumerate(per_stream_blocks):
-        for bi in range(len(blocks)):
-            flat.append((si, bi))
-    # group by geometry bucket, preserving order within each bucket
-    by_bucket: dict[int, list[tuple[int, int]]] = {}
-    for si, bi in flat:
-        nb = _bucket_for(len(per_stream_blocks[si][bi].data))
-        by_bucket.setdefault(nb, []).append((si, bi))
-
     if host_assist is None:
         from starch3_tpu.runtime import get_lib
 
         host_assist = mesh is None and get_lib() is not None
+
+    q = _BlockQueue()
     results: dict[tuple[int, int], tuple] = {}
-    stealers, stop_flag = _start_host_stealers(
-        by_bucket, per_stream_blocks, results, host_assist
+    errors: list[BaseException] = []
+    stealers = _start_host_stealers(q, results, errors, host_assist)
+    # Tail reserve: once feeding is done and a bucket's queue is nearly
+    # drained, the device stops claiming and the host stealers finish.
+    # The device's per-batch latency (dispatch RTTs + download) makes
+    # its last claim the whole corpus's straggler otherwise — measured
+    # 95 -> 112 MB/s on the bench corpus.  ~2 blocks per stealer core
+    # ends the race within one host block-encode of optimal either way.
+    reserve = _TAIL_RESERVE_PER_STEALER * len(stealers)
+    driver = threading.Thread(
+        target=_device_driver,
+        args=(q, results, errors, mesh, mode, batch_size, reserve),
+        name="s3device",
+        daemon=True,
     )
+    driver.start()
     try:
-        for n_max, items in by_bucket.items():
-            cursor = _cursors[id(by_bucket)][n_max]
-            pending = []
-            while True:
-                with _steal_lock:
-                    lo = cursor[0]
-                    hi = cursor[1]
-                    take = min(batch_size, hi - lo + 1)
-                    if take > 0:
-                        cursor[0] = lo + take
-                if take <= 0:
-                    break
-                chunk = items[lo : lo + take]
-                datas = [per_stream_blocks[si][bi].data for si, bi in chunk]
-                pending.append(
-                    (chunk, _dispatch_chunk(datas, n_max, mesh, mode))
-                )
-                if len(pending) > 1:
-                    _drain_into(
-                        results, per_stream_blocks, pending.pop(0), n_max, mode
-                    )
-            while pending:
-                _drain_into(
-                    results, per_stream_blocks, pending.pop(0), n_max, mode
-                )
+        for text in text_iter:
+            q.feed(text, level)
+            if errors:
+                break
     finally:
-        stop_flag.append(True)
+        q.finish_feeding()
+        driver.join()
         for t in stealers:
             t.join()
-        _cursors.pop(id(by_bucket), None)
+    if errors:
+        raise errors[0]
+    per_stream_blocks = q.per_stream_blocks
 
     streams = []
     for si, blocks in enumerate(per_stream_blocks):
@@ -530,54 +546,158 @@ def encode_streams(
 
 import threading
 
-_steal_lock = threading.Lock()
-# per-encode_streams-call cursors: {id(by_bucket): {n_max: [lo, hi]}}
-_cursors: dict[int, dict] = {}
+# scheduler knobs (see encode_streams_feed): blocks held back for the
+# stealer cores per stealer at the queue tail, and how many device
+# batches stay in flight (swept on the bench corpus: reserve 1 / depth
+# 3 / batch 3 / 4 MB parse chunks was the consistent winner)
+_TAIL_RESERVE_PER_STEALER = 1
+_PIPELINE_DEPTH = 3
 
 
-def _start_host_stealers(by_bucket, per_stream_blocks, results, host_assist):
-    """Arm the two-ended block queue: device claims batches from the
-    front (the caller's loop), host threads claim single blocks from the
-    back through the native encoder.  Returns (threads, stop_flag)."""
-    _cursors[id(by_bucket)] = {
-        nm: [0, len(items) - 1] for nm, items in by_bucket.items()
-    }
+class _BlockQueue:
+    """The shared two-ended block queue behind one encode call.
+
+    Blocks arrive over time (``feed``, appended at the back) grouped
+    into geometry buckets; the device driver claims batches from the
+    FRONT of a bucket, host stealers claim single blocks from the BACK
+    (the freshest — any unclaimed block is equivalent: output bytes are
+    per-block deterministic), and they meet in the middle.  All state
+    transitions happen under one condition variable — consumers sleep
+    on it instead of polling."""
+
+    def __init__(self):
+        import collections
+
+        self.cond = threading.Condition()
+        self.buckets: dict[int, "collections.deque"] = {}
+        self._deque = collections.deque
+        self.per_stream_blocks: list[list] = []
+        self.feeding = True
+
+    def feed(self, text: bytes, level: int) -> None:
+        blocks = rle1_split_blocks(text, level)
+        with self.cond:
+            si = len(self.per_stream_blocks)
+            self.per_stream_blocks.append(blocks)
+            for bi, blk in enumerate(blocks):
+                nm = _bucket_for(len(blk.data))
+                self.buckets.setdefault(nm, self._deque()).append((si, bi))
+            self.cond.notify_all()
+
+    def finish_feeding(self) -> None:
+        with self.cond:
+            self.feeding = False
+            self.cond.notify_all()
+
+
+def _start_host_stealers(q: _BlockQueue, results, errors, host_assist):
+    """Host stealer threads: claim one block at a time from the back of
+    the biggest-block bucket (one steal = one native block encode, so
+    stealing big blocks moves the most bytes per claim)."""
     if not host_assist:
-        return [], []
+        return []
     import os
 
     from starch3_tpu.codec.encoder import encode_block_fragment
 
-    stop_flag: list = []
-    cursors = _cursors[id(by_bucket)]
-    # biggest-block buckets first: one steal = one native block encode,
-    # so stealing big blocks moves the most bytes per claim
-    order = sorted(by_bucket, reverse=True)
-
     def steal():
-        while not stop_flag:
-            claim = None
-            with _steal_lock:
-                for nm in order:
-                    cur = cursors[nm]
-                    if cur[0] <= cur[1]:
-                        claim = (nm, cur[1])
-                        cur[1] -= 1
-                        break
-            if claim is None:
-                return
-            nm, i = claim
-            si, bi = by_bucket[nm][i]
-            frag = encode_block_fragment(per_stream_blocks[si][bi])
-            results[(si, bi)] = frag
+        try:
+            while True:
+                claim = None
+                with q.cond:
+                    while True:
+                        for nm in sorted(q.buckets, reverse=True):
+                            dq = q.buckets[nm]
+                            if dq:
+                                claim = dq.pop()
+                                break
+                        if claim is not None or not q.feeding or errors:
+                            break
+                        q.cond.wait(0.05)
+                if claim is None:
+                    return
+                si, bi = claim
+                results[(si, bi)] = encode_block_fragment(
+                    q.per_stream_blocks[si][bi]
+                )
+        except BaseException as e:  # surface in the caller
+            errors.append(e)
 
-    # the main thread mostly blocks on device transfers, so every core
-    # can steal; the native encode releases the GIL
+    # every core can steal; the native encode releases the GIL and the
+    # device driver thread mostly blocks on transfers
     n_workers = os.cpu_count() or 2
-    threads = [threading.Thread(target=steal, daemon=True) for _ in range(n_workers)]
+    threads = [
+        threading.Thread(target=steal, name=f"s3steal{i}", daemon=True)
+        for i in range(n_workers)
+    ]
     for t in threads:
         t.start()
-    return threads, stop_flag
+    return threads
+
+
+def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, reserve):
+    """The device side of the queue: claim fixed-size batches (padded —
+    every dispatch reuses one compiled geometry), keep two in flight,
+    and leave the post-feeding tail to the stealer cores (``reserve``)."""
+    pending: list = []
+    try:
+        while True:
+            chunk = None
+            this_nm = None
+            with q.cond:
+                while True:
+                    if errors:
+                        return
+                    for nm in sorted(q.buckets, reverse=True):
+                        dq = q.buckets[nm]
+                        remaining = len(dq)
+                        if remaining <= 0:
+                            continue
+                        if q.feeding and remaining < batch_size:
+                            # wait for a full batch while blocks are
+                            # still arriving (partial batches would
+                            # waste padded device rows)
+                            continue
+                        take = min(batch_size, remaining)
+                        if (
+                            not q.feeding
+                            and reserve
+                            and remaining - take < reserve
+                        ):
+                            continue  # leave the tail to the host cores
+                        chunk = [dq.popleft() for _ in range(take)]
+                        this_nm = nm
+                        break
+                    if chunk is not None or pending or not q.feeding:
+                        break
+                    q.cond.wait(0.005)
+                if chunk is None and not pending and not q.feeding:
+                    break  # queue fully claimed; stealers own the rest
+            if chunk is not None:
+                datas = [
+                    q.per_stream_blocks[si][bi].data for si, bi in chunk
+                ]
+                pending.append(
+                    (
+                        this_nm,
+                        (
+                            chunk,
+                            _dispatch_chunk(
+                                datas, this_nm, mesh, mode, pad_to=batch_size
+                            ),
+                        ),
+                    )
+                )
+                if len(pending) < _PIPELINE_DEPTH:
+                    continue  # keep _PIPELINE_DEPTH batches in flight
+            if pending:
+                nm0, item = pending.pop(0)
+                _drain_into(results, q.per_stream_blocks, item, nm0, mode)
+        while pending:
+            nm0, item = pending.pop(0)
+            _drain_into(results, q.per_stream_blocks, item, nm0, mode)
+    except BaseException as e:  # surface in the caller
+        errors.append(e)
 
 
 def _drain_into(results, per_stream_blocks, item, n_max, mode="ranks"):
@@ -762,7 +882,7 @@ def _fragment_from_row(row, bits, used, crc):
 def jax_bz2_compress(data: bytes, config=None, mesh=None, n_max: int | None = None) -> bytes:
     """bzip2-compatible compression with the heavy stages on device."""
     level = config.block_size_100k if config is not None else 9
-    batch_size = getattr(config, "blocks_per_batch", 2) if config else 2
+    batch_size = getattr(config, "blocks_per_batch", 3) if config else 3
     return encode_streams(
         [data],
         level=level,
@@ -774,8 +894,13 @@ def jax_bz2_compress(data: bytes, config=None, mesh=None, n_max: int | None = No
     )[0].data
 
 
-def _dispatch_chunk(block_datas, n_max, mesh, mode="ranks"):
-    """Upload + launch one batch asynchronously; returns device handles."""
+def _dispatch_chunk(block_datas, n_max, mesh, mode="ranks", pad_to=None):
+    """Upload + launch one batch asynchronously; returns device handles.
+
+    ``pad_to`` pads the batch axis to a fixed size so every dispatch in
+    a run reuses ONE compiled program per (bucket, mode) — a partial
+    final batch would otherwise compile a whole second geometry (minutes
+    on a cold process; this backend has no working compilation cache)."""
     import jax
     import jax.numpy as jnp
 
@@ -783,7 +908,7 @@ def _dispatch_chunk(block_datas, n_max, mesh, mode="ranks"):
 
     b = len(block_datas)
     n_dev = mesh.devices.size if mesh is not None else 1
-    b_pad = pad_batch(b, n_dev)
+    b_pad = pad_batch(max(b, pad_to or 0), n_dev)
     lens = np.ones(b_pad, dtype=np.int32)
     batch = np.zeros((b_pad, n_max), dtype=np.uint8)
     pallas_mtf = _use_pallas_mtf(mesh)

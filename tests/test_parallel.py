@@ -179,3 +179,132 @@ class TestDeviceDecode:
         stream[len(stream) // 2] ^= 0x40
         with pytest.raises(FormatError):
             decode_streams([bytes(stream)])
+
+
+class TestStreamingFeed:
+    """The streaming scheduler (pipeline.encode_streams_feed) and the
+    chunked parse feeder (api._iter_parse_transform): encoding overlaps
+    parsing, bytes stay identical to the one-shot path."""
+
+    def test_feed_equals_list(self, rng):
+        from starch3_tpu.parallel.pipeline import (
+            encode_streams,
+            encode_streams_feed,
+        )
+
+        texts = [
+            bytes(rng.integers(0, 16, int(n), dtype=np.uint8))
+            for n in rng.integers(2_000, 40_000, 7)
+        ]
+        want = encode_streams(texts)
+
+        def slow_iter():
+            import time
+
+            for t in texts:
+                time.sleep(0.002)  # blocks trickle in while workers run
+                yield t
+
+        got = encode_streams_feed(slow_iter())
+        assert [g.data for g in got] == [w.data for w in want]
+
+    def test_feed_partial_batches_device_only(self, rng):
+        """5 blocks with batch_size 3: the final partial batch is padded
+        to the same compiled geometry; host_assist off forces every
+        block through the device path."""
+        from starch3_tpu.codec.encoder import bz2_compress
+        from starch3_tpu.parallel.pipeline import encode_streams_feed
+
+        texts = [
+            bytes(rng.integers(0, 16, 3000, dtype=np.uint8)) for _ in range(5)
+        ]
+        got = encode_streams_feed(
+            iter(texts), batch_size=3, host_assist=False
+        )
+        assert [g.data for g in got] == [bz2_compress(t, 9) for t in texts]
+
+    def test_feeder_error_propagates(self, rng):
+        import pytest
+
+        from starch3_tpu.parallel.pipeline import encode_streams_feed
+
+        class Boom(Exception):
+            pass
+
+        def gen():
+            yield bytes(rng.integers(0, 16, 2000, dtype=np.uint8))
+            raise Boom()
+
+        with pytest.raises(Boom):
+            encode_streams_feed(gen())
+
+    def test_iter_parse_transform_matches_oneshot(self, rng):
+        """Tiny chunks force chromosome spans across chunk boundaries;
+        the merged re-transform must equal the whole-buffer parse."""
+        from starch3_tpu.api import _iter_parse_transform, _parse_transform
+
+        bed = make_bed_text(
+            rng, n=4000, chroms=("chr1", "chr2", "chr3"), with_remainder=True
+        )
+        want = _parse_transform(bed)
+        got = list(_iter_parse_transform(bed, chunk_bytes=1 << 12))
+        assert [(g.chrom, g.text) for g in got] == [
+            (w.chrom, w.text) for w in want
+        ]
+        assert [
+            (g.line_count, g.base_count_nonunique, g.base_count_unique)
+            for g in got
+        ] == [
+            (w.line_count, w.base_count_nonunique, w.base_count_unique)
+            for w in want
+        ]
+
+    def test_iter_parse_transform_single_huge_chrom(self, rng):
+        from starch3_tpu.api import _iter_parse_transform, _parse_transform
+
+        bed = make_bed_text(rng, n=3000, chroms=("chr9",))
+        want = _parse_transform(bed)
+        got = list(_iter_parse_transform(bed, chunk_bytes=1 << 11))
+        assert len(got) == 1
+        assert got[0].text == want[0].text
+
+    def test_iter_parse_no_final_newline_and_blanks(self, rng):
+        from starch3_tpu.api import _iter_parse_transform, _parse_transform
+
+        bed = (
+            b"chr1\t10\t20\nchr1\t30\t40\n\n\nchr2\t5\t9\nchr2\t12\t20"
+        )
+        want = _parse_transform(bed)
+        got = list(_iter_parse_transform(bed, chunk_bytes=16))
+        assert [(g.chrom, g.text) for g in got] == [
+            (w.chrom, w.text) for w in want
+        ]
+
+    def test_duplicate_chromosome_same_error(self, rng):
+        """Non-contiguous duplicate chromosomes must raise the same
+        parse error through the streaming path as the one-shot path."""
+        import pytest
+
+        from starch3_tpu.config import EncodeConfig
+        from starch3_tpu.errors import BedParseError
+
+        bed = b"chr1\t10\t20\nchr2\t5\t9\nchr1\t30\t40\n"
+        with pytest.raises(BedParseError):
+            compress_bed_bytes(bed, EncodeConfig(use_jax=False))
+        with pytest.raises(BedParseError):
+            compress_bed_bytes(bed, EncodeConfig(use_jax=True))
+
+    def test_api_jax_pipelined_equals_host(self, rng):
+        from starch3_tpu import api as A
+        from starch3_tpu.config import EncodeConfig
+
+        bed = make_bed_text(rng, n=6000, chroms=("chr1", "chr2", "chrM"))
+        want = compress_bed_bytes(bed, EncodeConfig(use_jax=False))
+        # force many feeder chunks so encode genuinely overlaps parse
+        orig = A._iter_parse_transform
+        A._iter_parse_transform = lambda d: orig(d, chunk_bytes=1 << 13)
+        try:
+            got = compress_bed_bytes(bed, EncodeConfig(use_jax=True))
+        finally:
+            A._iter_parse_transform = orig
+        assert got == want
