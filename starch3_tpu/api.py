@@ -333,38 +333,38 @@ def compress_bed_bytes(
     if streams is None:
         with timer.stage("parse+transform", len(data)):
             transformed = _parse_transform(data)
-    total_text = sum(len(tf.text) for tf in transformed)
-    with timer.stage("compress", total_text):
-        if streams is not None:
-            pass  # already encoded by the pipelined path above
-        elif config.use_jax and config.method is CompressionMethod.BZIP2 and transformed:
-            # one global device queue across all chromosomes: blocks from
-            # every stream share batches, so N small chromosomes cost
-            # ~N/batch dispatches instead of N (parallel/pipeline.py)
-            from starch3_tpu.parallel.pipeline import encode_streams
+        total_text = sum(len(tf.text) for tf in transformed)
+        with timer.stage("compress", total_text):
+            if config.use_jax and config.method is CompressionMethod.BZIP2 and transformed:
+                # one global device queue across all chromosomes: blocks
+                # from every stream share batches, so N small chromosomes
+                # cost ~N/batch dispatches instead of N (parallel/pipeline)
+                from starch3_tpu.parallel.pipeline import encode_streams
 
-            streams = encode_streams(
-                [tf.text for tf in transformed],
-                level=config.block_size_100k,
-                batch_size=config.blocks_per_batch,
-                device_rle2=config.device_rle2,
-                fast_bwt=config.fast_bwt,
-                device_huffman=config.device_huffman,
-            )
-        elif config.method is CompressionMethod.BZIP2 and transformed:
-            # host path: shared thread pool over every stream's blocks
-            # (the native stages release the GIL)
-            import os
+                streams = encode_streams(
+                    [tf.text for tf in transformed],
+                    level=config.block_size_100k,
+                    batch_size=config.blocks_per_batch,
+                    device_rle2=config.device_rle2,
+                    fast_bwt=config.fast_bwt,
+                    device_huffman=config.device_huffman,
+                )
+            elif config.method is CompressionMethod.BZIP2 and transformed:
+                # host path: shared thread pool over every stream's blocks
+                # (the native stages release the GIL)
+                import os
 
-            from starch3_tpu.codec.encoder import encode_streams_host
+                from starch3_tpu.codec.encoder import encode_streams_host
 
-            streams = encode_streams_host(
-                [tf.text for tf in transformed],
-                level=config.block_size_100k,
-                workers=os.cpu_count(),
-            )
-        else:
-            streams = [_compress_stream(tf.text, config) for tf in transformed]
+                streams = encode_streams_host(
+                    [tf.text for tf in transformed],
+                    level=config.block_size_100k,
+                    workers=os.cpu_count(),
+                )
+            else:
+                streams = [
+                    _compress_stream(tf.text, config) for tf in transformed
+                ]
     with timer.stage("assemble"):
         for tf, enc in zip(transformed, streams):
             compressed = enc if isinstance(enc, bytes) else enc.data

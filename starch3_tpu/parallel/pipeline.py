@@ -475,6 +475,8 @@ def encode_streams_feed(
         host_assist = mesh is None and get_lib() is not None
 
     q = _BlockQueue()
+    q.steal_holdback = batch_size
+    q.device_low_water = batch_size * _PIPELINE_DEPTH
     results: dict[tuple[int, int], tuple] = {}
     errors: list[BaseException] = []
     stealers = _start_host_stealers(q, results, errors, host_assist)
@@ -573,6 +575,12 @@ class _BlockQueue:
         self._deque = collections.deque
         self.per_stream_blocks: list[list] = []
         self.feeding = True
+        # blocks the device driver has claimed so far; until its
+        # software pipeline is primed, stealers leave it first pick
+        # (see _start_host_stealers)
+        self.device_claimed = 0
+        self.device_low_water = 0
+        self.steal_holdback = 0  # blocks stealers leave while gated
 
     def feed(self, text: bytes, level: int) -> None:
         blocks = rle1_split_blocks(text, level)
@@ -606,14 +614,29 @@ def _start_host_stealers(q: _BlockQueue, results, errors, host_assist):
                 claim = None
                 with q.cond:
                     while True:
+                        # While blocks are still arriving and the device
+                        # pipeline isn't primed, the device has first
+                        # pick: it turns blocks around with ~100 ms of
+                        # dispatch latency, so it must claim EARLY or it
+                        # idles through the whole corpus (measured: the
+                        # stealers otherwise drain the queue faster than
+                        # the feeder fills it and the device gets one
+                        # late batch).  Stealers then only take blocks
+                        # beyond one buildable batch.
+                        hold_back = (
+                            q.steal_holdback
+                            if q.feeding
+                            and q.device_claimed < q.device_low_water
+                            else 0
+                        )
                         for nm in sorted(q.buckets, reverse=True):
                             dq = q.buckets[nm]
-                            if dq:
+                            if len(dq) > hold_back:
                                 claim = dq.pop()
                                 break
                         if claim is not None or not q.feeding or errors:
                             break
-                        q.cond.wait(0.05)
+                        q.cond.wait(0.05 if not hold_back else 0.002)
                 if claim is None:
                     return
                 si, bi = claim
@@ -666,6 +689,7 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                         ):
                             continue  # leave the tail to the host cores
                         chunk = [dq.popleft() for _ in range(take)]
+                        q.device_claimed += take
                         this_nm = nm
                         break
                     if chunk is not None or pending or not q.feeding:
@@ -691,13 +715,41 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                 if len(pending) < _PIPELINE_DEPTH:
                     continue  # keep _PIPELINE_DEPTH batches in flight
             if pending:
-                nm0, item = pending.pop(0)
-                _drain_into(results, q.per_stream_blocks, item, nm0, mode)
+                # pipeline full (or nothing claimable): drain the oldest.
+                # When there may still be claimable work soon, only block
+                # on a batch whose transfer already landed — blocking on
+                # an in-flight batch would stall the next dispatch for
+                # the whole batch turnaround.
+                if len(pending) >= _PIPELINE_DEPTH or _batch_ready(
+                    pending[0][1][1][0]
+                ):
+                    nm0, item = pending.pop(0)
+                    _drain_into(results, q.per_stream_blocks, item, nm0, mode)
+                elif chunk is None:
+                    import time as _time
+
+                    _time.sleep(0.002)  # nothing claimable, batch not ready
         while pending:
             nm0, item = pending.pop(0)
             _drain_into(results, q.per_stream_blocks, item, nm0, mode)
     except BaseException as e:  # surface in the caller
         errors.append(e)
+
+
+def _batch_ready(out_d) -> bool:
+    """True when a dispatched batch's host-bound arrays are ready to
+    fetch without blocking (jax.Array.is_ready; conservatively True on
+    backends without it, restoring blocking-drain behavior)."""
+    handles = out_d if isinstance(out_d, tuple) else (out_d,)
+    for h in handles:
+        is_ready = getattr(h, "is_ready", None)
+        if is_ready is not None:
+            try:
+                if not is_ready():
+                    return False
+            except Exception:
+                return True
+    return True
 
 
 def _drain_into(results, per_stream_blocks, item, n_max, mode="ranks"):
@@ -943,8 +995,13 @@ def _dispatch_chunk(block_datas, n_max, mesh, mode="ranks", pad_to=None):
             # next batch's upload; m rides along on device
             m_d = small_d[:, 1]
             hist_d = _jitted_group_hist(n_max)(syms_d, m_d)
+            _copy_to_host_async(small_d)
             return (small_d, syms_d, m_d, hist_d), {"b": b, "useds": useds}
         out_d = _jitted_fused_step_fast(n_max, bits, pallas_mtf)(*arrays)
+        # start the D2H transfer now: the drain's np.asarray would
+        # otherwise block the driver thread for the whole batch
+        # turnaround (compute + download), stalling the next dispatch
+        _copy_to_host_async(out_d)
         return out_d, {"b": b, "useds": useds, "bits": bits}
 
     for i, data in enumerate(block_datas):
@@ -959,7 +1016,19 @@ def _dispatch_chunk(block_datas, n_max, mesh, mode="ranks", pad_to=None):
         if mode == "rle2"
         else _jitted_fused_step(n_max, pallas_mtf)
     )
-    return step(batch_d, lens_d), {"b": b, "lens": lens}
+    out_d = step(batch_d, lens_d)
+    _copy_to_host_async(out_d)
+    return out_d, {"b": b, "lens": lens}
+
+
+def _copy_to_host_async(arr) -> None:
+    """Enqueue the device->host copy behind the computation that
+    produces ``arr`` (PJRT orders it after the producing program), so a
+    later np.asarray finds the bytes already on their way."""
+    try:
+        arr.copy_to_host_async()
+    except Exception:
+        pass  # backend without async copies: the drain fetch blocks
 
 
 def _put_batch(arrays, mesh):
