@@ -170,6 +170,56 @@ def _jitted_bwt_mtf_fast(n_max: int, bits: int, pallas_mtf: bool = False):
 
 
 @functools.lru_cache(maxsize=8)
+def _jitted_fused_step_ranks4(n_max: int, pallas_mtf: bool = False):
+    """The bits==4 production step: 3-operand one-sort BWT (payload in
+    key3's low nibble, ops/bwt_fast.bwt_sort_fast3) -> narrow-alphabet
+    Pallas MTF (ops/mtf_narrow_pallas.py) -> nibble-packed rank
+    download.  RLE2 moves to the host tail (runtime.cpp
+    s3_rle2_from_ranks — a single native pass off the critical path),
+    which deletes the XLA scan/scatter RLE2 stage that dominated the
+    round-2 device profile (7.7 of 15.2 ms/block at 448k,
+    benchmarks/profile_fast.py).  Download stays 4 bits/input byte.
+
+    Row format: [orig_ptr, ties, packed_ranks[n_max // 8]] int32.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from starch3_tpu.ops.bwt_fast import bwt_sort_fast3
+
+    def step(seqs_packed, lens):
+        b = seqs_packed.shape[0]
+        lo = (seqs_packed & 0xF).astype(jnp.int32)
+        hi = (seqs_packed >> 4).astype(jnp.int32)
+        seqs = jnp.stack([lo, hi], axis=-1).reshape(b, n_max)
+        lasts, ptrs, ties = jax.vmap(
+            lambda s, n: bwt_sort_fast3(s, n, n_max)
+        )(seqs, lens)
+        if pallas_mtf:
+            from starch3_tpu.ops.mtf_narrow_pallas import mtf_ranks_narrow_batch
+
+            ranks = mtf_ranks_narrow_batch(lasts, n_max)
+        else:
+            from starch3_tpu.ops.mtf_jax import mtf_ranks_padded
+
+            ranks = jax.vmap(lambda s, n: mtf_ranks_padded(s, n, n_max))(
+                lasts, lens
+            )
+        # garbage ranks past each row's length must not leak into
+        # neighbouring nibbles of the packed download
+        idx = jnp.arange(n_max, dtype=jnp.int32)
+        ranks = jnp.where(idx[None, :] < lens[:, None], ranks, 0)
+        r8 = ranks.reshape(b, n_max // 8, 8).astype(jnp.uint32)
+        word = r8[..., 0]
+        for k in range(1, 8):
+            word = word | (r8[..., k] << (4 * k))
+        packed = jax.lax.bitcast_convert_type(word, jnp.int32)
+        return jnp.concatenate([ptrs[:, None], ties[:, None], packed], axis=1)
+
+    return jax.jit(step)
+
+
+@functools.lru_cache(maxsize=8)
 def _jitted_rle2_pack(n_max: int, bits: int):
     """RLE2 + download packing over the BWT+MTF program's outputs.
 
@@ -756,6 +806,22 @@ def _drain_into(results, per_stream_blocks, item, n_max, mode="ranks"):
     chunk, (out_d, aux) = item
     if mode == "fast_huff":
         return _drain_fast_huff(results, per_stream_blocks, chunk, out_d, aux, n_max)
+    if mode == "fast" and aux.get("bits") == 4 and "lens" in aux:
+        out = np.asarray(out_d)  # one transfer for the whole batch
+        for i, ((si, bi), used) in enumerate(zip(chunk, aux["useds"])):
+            if int(out[i, 1]) == 0:  # ties == 0
+                results[(si, bi)] = _tail_pool().submit(
+                    _fragment_from_ranks_row,
+                    out[i], used, per_stream_blocks[si][bi].crc,
+                    int(aux["lens"][i]),
+                )
+            else:
+                from starch3_tpu.codec.encoder import encode_block_fragment
+
+                results[(si, bi)] = encode_block_fragment(
+                    per_stream_blocks[si][bi]
+                )
+        return
     if mode == "fast":
         out = np.asarray(out_d)  # one transfer for the whole batch
         for i, ((si, bi), used) in enumerate(zip(chunk, aux["useds"])):
@@ -914,6 +980,24 @@ def _tail_pool():
     return _TAIL_POOL
 
 
+def _fragment_from_ranks_row(row, used, crc, n):
+    """One block's bitstream fragment from a bits==4 result row:
+    [ptr, ties, nibble-packed ranks] (see _jitted_fused_step_ranks4).
+    RLE2 + Huffman + serialization run natively here (tail pool)."""
+    from starch3_tpu.codec.encoder import write_block_from_device_syms
+    from starch3_tpu.codec.mtf import mtf_rle2_from_ranks
+
+    ptr = int(row[0])
+    by = np.ascontiguousarray(row[2:], dtype="<i4").view(np.uint8)
+    ranks = np.empty(by.size * 2, dtype=np.uint8)
+    ranks[0::2] = by & 0xF
+    ranks[1::2] = by >> 4
+    mtf = mtf_rle2_from_ranks(ranks[:n], used)
+    frag = BitWriter()
+    write_block_from_device_syms(frag, crc, ptr, mtf.symbols, mtf.freq, used)
+    return frag
+
+
 def _fragment_from_row(row, bits, used, crc):
     """One block's bitstream fragment from a packed result row:
     [ptr, m, ties, freq[260], packed syms] (see _jitted_fused_step_fast)."""
@@ -997,6 +1081,14 @@ def _dispatch_chunk(block_datas, n_max, mesh, mode="ranks", pad_to=None):
             hist_d = _jitted_group_hist(n_max)(syms_d, m_d)
             _copy_to_host_async(small_d)
             return (small_d, syms_d, m_d, hist_d), {"b": b, "useds": useds}
+        if bits == 4:
+            # round-3 fast path: 3-operand sort + narrow MTF; RLE2 is
+            # host-native on the downloaded nibble-packed ranks
+            out_d = _jitted_fused_step_ranks4(n_max, pallas_mtf)(
+                arrays[0], arrays[1]
+            )
+            _copy_to_host_async(out_d)
+            return out_d, {"b": b, "useds": useds, "bits": 4, "lens": lens}
         out_d = _jitted_fused_step_fast(n_max, bits, pallas_mtf)(*arrays)
         # start the D2H transfer now: the drain's np.asarray would
         # otherwise block the driver thread for the whole batch
