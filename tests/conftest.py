@@ -7,9 +7,16 @@ to a real pod slice.  Must be set before JAX initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# STARCH3_TPU_TEST_TPU=1 leaves the real accelerator visible so the
+# @pytest.mark.tpu lane (tests/test_tpu.py) exercises the actual chip;
+# the default pins CPU so the suite is hermetic and the virtual
+# 8-device mesh works (the tpu lane then auto-skips).
+_REAL_TPU = os.environ.get("STARCH3_TPU_TEST_TPU") == "1"
+
+if not _REAL_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _REAL_TPU and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
@@ -18,7 +25,8 @@ if "xla_force_host_platform_device_count" not in flags:
 # config knob is honored (must run before the backend initializes)
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _REAL_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

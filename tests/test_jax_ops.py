@@ -123,6 +123,119 @@ class TestMtfJax:
         ).tolist()
 
 
+class TestMtfNarrowPallas:
+    """ops/mtf_narrow_pallas.py (interpret mode off-TPU): the bits==4
+    production MTF kernel vs the NumPy oracle, including the cross-tile
+    recency-order carry collapse."""
+
+    @pytest.mark.parametrize(
+        "n,nsym", [(1, 16), (100, 2), (4096, 14), (5000, 16), (12288, 5)]
+    )
+    def test_matches_oracle(self, rng, n, nsym):
+        from starch3_tpu.ops.mtf_narrow_pallas import mtf_ranks_narrow_host
+
+        seq = rng.integers(0, nsym, n).astype(np.int32)
+        assert mtf_ranks_narrow_host(seq).tolist() == mtf_ranks(seq, 16).tolist()
+
+    def test_rare_symbol_across_tiles(self, rng):
+        """A symbol seen once early then silent across several 4096-
+        position tiles: its carried recency order must stay exact."""
+        from starch3_tpu.ops.mtf_narrow_pallas import mtf_ranks_narrow_host
+
+        seq = rng.integers(0, 3, 20000).astype(np.int32)
+        seq[5] = 15
+        seq[100] = 14
+        seq[19999] = 15  # rank depends on order among long-silent symbols
+        assert mtf_ranks_narrow_host(seq).tolist() == mtf_ranks(seq, 16).tolist()
+
+    def test_batch_rows_reinitialize(self, rng):
+        """Row 1's ranks must be independent of row 0 (carry re-init)."""
+        import jax.numpy as jnp
+
+        from starch3_tpu.ops.mtf_narrow_pallas import mtf_ranks_narrow_batch
+
+        n_max = 4096
+        a = rng.integers(0, 16, n_max).astype(np.int32)
+        b = rng.integers(0, 16, n_max).astype(np.int32)
+        import jax
+
+        interp = jax.default_backend() != "tpu"
+        both = np.stack([a, b])
+        out = np.asarray(mtf_ranks_narrow_batch(jnp.asarray(both), n_max, interp))
+        assert out[1].tolist() == mtf_ranks(b, 16).tolist()
+
+
+class TestBwtFast3:
+    """ops/bwt_fast.bwt_sort_fast3: the 3-operand payload-in-key sort."""
+
+    @pytest.mark.parametrize("sigma", [2, 10, 16])
+    def test_matches_oracle_when_tie_free(self, rng, sigma):
+        import jax.numpy as jnp
+
+        from starch3_tpu.ops.bwt_fast import bwt_sort_fast3
+
+        seq = rng.integers(0, sigma, 3000).astype(np.int32)
+        pad = np.zeros(4096, np.int32)
+        pad[:3000] = seq
+        last, ptr, ties = bwt_sort_fast3(jnp.asarray(pad), jnp.int32(3000), 4096)
+        if int(ties) == 0:
+            l1, p1 = bwt_encode(seq.astype(np.uint8))
+            assert np.asarray(last)[:3000].tolist() == l1.tolist()
+            assert int(ptr) == p1
+
+    def test_real_transform_text_tie_free_and_exact(self, rng):
+        from starch3_tpu.api import _parse_transform
+        from starch3_tpu.codec.mtf import symbol_map
+        import jax.numpy as jnp
+
+        from starch3_tpu.ops.bwt_fast import bwt_sort_fast3
+
+        text = _parse_transform(make_bed_text(rng, n=3000))[0].text
+        blk = np.frombuffer(text, dtype=np.uint8)
+        _, u2s, n_in = symbol_map(blk)
+        assert n_in <= 16
+        seq = u2s[blk].astype(np.int32)
+        n = seq.size
+        n_max = 1 << (n - 1).bit_length()
+        pad = np.zeros(n_max, np.int32)
+        pad[:n] = seq
+        last, ptr, ties = bwt_sort_fast3(jnp.asarray(pad), jnp.int32(n), n_max)
+        assert int(ties) == 0
+        l1, p1 = bwt_encode(blk)
+        dense_last = u2s[l1]
+        assert np.asarray(last)[:n].tolist() == dense_last.tolist()
+        assert int(ptr) == p1
+
+    def test_periodic_reports_ties(self):
+        import jax.numpy as jnp
+
+        from starch3_tpu.ops.bwt_fast import bwt_sort_fast3
+
+        pat = np.frombuffer(b"1723\n481\np100\n" * 40, dtype=np.uint8)
+        vals = np.unique(pat)
+        dense = np.searchsorted(vals, pat).astype(np.int32)
+        pad = np.zeros(1024, np.int32)
+        pad[: dense.size] = dense
+        _, _, ties = bwt_sort_fast3(jnp.asarray(pad), jnp.int32(dense.size), 1024)
+        assert int(ties) > 0
+
+    def test_padding_is_inert(self, rng):
+        import jax.numpy as jnp
+
+        from starch3_tpu.ops.bwt_fast import bwt_sort_fast3
+
+        seq = rng.integers(0, 13, 700).astype(np.int32)
+        outs = []
+        for n_max in (1024, 2048):
+            padded = np.full(n_max, 15, dtype=np.int32)  # poisoned pad
+            padded[:700] = seq
+            last, ptr, ties = bwt_sort_fast3(
+                jnp.asarray(padded), jnp.int32(700), n_max
+            )
+            outs.append((np.asarray(last)[:700].tolist(), int(ptr), int(ties)))
+        assert outs[0] == outs[1]
+
+
 class TestTransformJax:
     def test_core_matches_host(self, rng):
         import jax.numpy as jnp

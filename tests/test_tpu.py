@@ -1,0 +1,131 @@
+"""Real-TPU test lane (@pytest.mark.tpu).
+
+Run with the chip visible:
+
+    STARCH3_TPU_TEST_TPU=1 python -m pytest tests/test_tpu.py -m tpu -q
+
+The default suite pins the CPU backend (tests/conftest.py), so these
+auto-skip there; on hardware they compile and execute the production
+Pallas kernels and the full device pipeline against the host oracles —
+the coverage the round-2 review flagged as missing (bench.py's asserts
+were the only real-chip checks).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from tests.conftest import make_bed_text
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        jax.default_backend() != "tpu",
+        reason="needs a real TPU (set STARCH3_TPU_TEST_TPU=1)",
+    ),
+]
+
+
+def test_mtf_narrow_kernel_on_chip(rng):
+    """Compiled (not interpreted) narrow MTF kernel vs the oracle."""
+    import jax.numpy as jnp
+
+    from starch3_tpu.codec.mtf import mtf_ranks
+    from starch3_tpu.ops.mtf_narrow_pallas import mtf_ranks_narrow_batch
+
+    n_max = 8192
+    seqs = rng.integers(0, 14, (2, n_max)).astype(np.int32)
+    out = np.asarray(mtf_ranks_narrow_batch(jnp.asarray(seqs), n_max))
+    for i in range(2):
+        assert out[i].tolist() == mtf_ranks(seqs[i], 16).tolist()
+
+
+def test_mtf_pallas_w256_kernel_on_chip(rng):
+    """The generic-alphabet (bits==8) Pallas MTF kernel vs the oracle."""
+    import jax.numpy as jnp
+
+    from starch3_tpu.codec.mtf import mtf_ranks
+    from starch3_tpu.ops.mtf_pallas import mtf_ranks_pallas_batch
+
+    n_max = 4096
+    seqs = rng.integers(0, 200, (2, n_max)).astype(np.int32)
+    out = np.asarray(mtf_ranks_pallas_batch(jnp.asarray(seqs), n_max, 256))
+    for i in range(2):
+        assert out[i].tolist() == mtf_ranks(seqs[i], 256).tolist()
+
+
+def test_bwt_sort_fast3_on_chip(rng):
+    import jax.numpy as jnp
+
+    from starch3_tpu.codec.bwt import bwt_encode
+    from starch3_tpu.ops.bwt_fast import bwt_sort_fast3
+
+    seq = rng.integers(0, 14, 5000).astype(np.int32)
+    pad = np.zeros(8192, np.int32)
+    pad[:5000] = seq
+    last, ptr, ties = bwt_sort_fast3(jnp.asarray(pad), jnp.int32(5000), 8192)
+    assert int(ties) == 0
+    l1, p1 = bwt_encode(seq.astype(np.uint8))
+    assert np.asarray(last)[:5000].tolist() == l1.tolist()
+    assert int(ptr) == p1
+
+
+def test_device_pipeline_byte_identity(rng):
+    """encode_streams on the chip == host encoder == libbz2, both the
+    default fast path and with host_assist off (pure device)."""
+    import bz2
+
+    from starch3_tpu.parallel.pipeline import encode_streams
+
+    texts = [
+        bytes(make_bed_text(rng, n=4000, chroms=("chr1",))),
+        bytes(make_bed_text(rng, n=1500, chroms=("chr2",))),
+    ]
+    from starch3_tpu.api import _parse_transform
+
+    texts = [tf.text for t in texts for tf in _parse_transform(t)]
+    want = [bz2.compress(t, 9) for t in texts]
+    got = [s.data for s in encode_streams(texts, host_assist=False)]
+    assert got == want
+    got2 = [s.data for s in encode_streams(texts)]
+    assert got2 == want
+
+
+def test_device_decode_chain_on_chip(rng):
+    """decode_streams (device irle2 -> imtf -> ibwt) round-trips real
+    encoder output on the chip."""
+    import bz2
+
+    from starch3_tpu.parallel.pipeline import decode_streams
+
+    text = make_bed_text(rng, n=5000)
+    stream = bz2.compress(text, 9)
+    assert decode_streams([stream]) == [text]
+
+
+def test_full_archive_jax_equals_host_on_chip(rng):
+    from starch3_tpu.api import compress_bed_bytes, decompress_starch_bytes
+    from starch3_tpu.config import EncodeConfig
+
+    bed = make_bed_text(rng, n=6000, with_remainder=True)
+    a_jax = compress_bed_bytes(bed, EncodeConfig(use_jax=True))
+    a_host = compress_bed_bytes(bed, EncodeConfig(use_jax=False))
+    assert a_jax == a_host
+    assert decompress_starch_bytes(a_jax) == bed
+
+
+def test_device_huffman_tier_on_chip(rng):
+    """EncodeConfig(device_huffman=True): MXU group costing + device
+    bit-pack must still produce byte-identical streams."""
+    import bz2
+
+    from starch3_tpu.parallel.pipeline import encode_streams
+
+    from starch3_tpu.api import _parse_transform
+
+    text = _parse_transform(make_bed_text(rng, n=4000))[0].text
+    got = encode_streams([text], device_huffman=True, host_assist=False)[0]
+    assert got.data == bz2.compress(text, 9)
