@@ -438,7 +438,22 @@ def compress_bed_file(
     config: EncodeConfig | None = None,
     chunk_bytes: int = 64 << 20,
 ) -> None:
-    """Streaming file encode: constant memory in the corpus size.
+    """Streaming file encode: ``compress_bed_stream`` over a named file."""
+    with open(in_path, "rb") as f:
+        compress_bed_stream(f, out_fh, config, chunk_bytes)
+
+
+def compress_bed_stream(
+    in_fh,
+    out_fh,
+    config: EncodeConfig | None = None,
+    chunk_bytes: int = 64 << 20,
+) -> None:
+    """Streaming encode from any binary file object: constant memory in
+    the corpus size.  Works on pipes/stdin — the reference's producer
+    streams stdin line-at-a-time with O(1) memory
+    (reference include/starch3api.hpp:158-199); this is the chunked
+    equivalent (a BASELINE config-5 pipe must not slurp the corpus).
 
     Chromosomes are contiguous in sorted BED and every chromosome's
     transform state starts fresh, so a chunk's interior chromosome groups
@@ -446,7 +461,7 @@ def compress_bed_file(
     chunk boundary is carried as raw text and re-transformed when its
     chromosome completes.  Peak memory ~ the largest single chromosome,
     not the corpus (BASELINE.json config 5 scale).  Output bytes are
-    identical to ``compress_bed_bytes`` on the whole file.
+    identical to ``compress_bed_bytes`` on the whole input.
 
     Peak memory ~ a small window of chromosomes (the pool's in-flight
     texts), not the corpus.  With ``use_jax``, completed chromosomes
@@ -463,8 +478,7 @@ def compress_bed_file(
 
     config = config or EncodeConfig()
     if get_lib() is None:
-        with open(in_path, "rb") as f:
-            out_fh.write(compress_bed_bytes(f.read(), config))
+        out_fh.write(compress_bed_bytes(in_fh.read(), config))
         return
 
     from collections import deque
@@ -582,48 +596,47 @@ def compress_bed_file(
         carry_name: str | None = None
         carry_parts: list[bytes] = []
         partial = b""
-        with open(in_path, "rb") as f:
-            while True:
-                chunk = f.read(chunk_bytes)
-                if not chunk:
-                    break
-                buf = partial + chunk
-                cut = buf.rfind(b"\n")
-                if cut < 0:
-                    partial = buf
-                    continue
-                partial = buf[cut + 1 :]
-                buf = buf[: cut + 1]
-                groups = transform_or_raise(buf)
-                if not groups:
-                    continue
-                # raw span boundaries come straight from the parse: group
-                # k's raw text spans [off_k, off_{k+1}) in buf
-                names = [g[0] for g in groups]
-                if (
-                    carry_name is not None
-                    and names[0] == carry_name
-                    and len(groups) == 1
-                ):
-                    carry_parts.append(buf)  # chromosome still continuing
-                    continue
-                offs = [g[5] for g in groups] + [len(buf)]
-                spans = [(offs[k], offs[k + 1]) for k in range(len(groups))]
-                if carry_name is not None:
-                    if names[0] == carry_name:
-                        carry_parts.append(buf[: spans[1][0]])
-                        groups = groups[1:]
-                        names = names[1:]
-                        spans = spans[1:]
-                    carry_raw = b"".join(carry_parts)
-                    for g in transform_or_raise(carry_raw):
-                        emit(g[0], g[1], g[2], g[3], g[4])
-                    carry_name, carry_parts = None, []
-                # all groups except the last are fully bounded: final
-                for g in groups[:-1]:
+        while True:
+            chunk = in_fh.read(chunk_bytes)
+            if not chunk:
+                break
+            buf = partial + chunk
+            cut = buf.rfind(b"\n")
+            if cut < 0:
+                partial = buf
+                continue
+            partial = buf[cut + 1 :]
+            buf = buf[: cut + 1]
+            groups = transform_or_raise(buf)
+            if not groups:
+                continue
+            # raw span boundaries come straight from the parse: group
+            # k's raw text spans [off_k, off_{k+1}) in buf
+            names = [g[0] for g in groups]
+            if (
+                carry_name is not None
+                and names[0] == carry_name
+                and len(groups) == 1
+            ):
+                carry_parts.append(buf)  # chromosome still continuing
+                continue
+            offs = [g[5] for g in groups] + [len(buf)]
+            spans = [(offs[k], offs[k + 1]) for k in range(len(groups))]
+            if carry_name is not None:
+                if names[0] == carry_name:
+                    carry_parts.append(buf[: spans[1][0]])
+                    groups = groups[1:]
+                    names = names[1:]
+                    spans = spans[1:]
+                carry_raw = b"".join(carry_parts)
+                for g in transform_or_raise(carry_raw):
                     emit(g[0], g[1], g[2], g[3], g[4])
-                carry_name = names[-1]
-                carry_parts = [buf[spans[-1][0] :]]
+                carry_name, carry_parts = None, []
+            # all groups except the last are fully bounded: final
+            for g in groups[:-1]:
+                emit(g[0], g[1], g[2], g[3], g[4])
+            carry_name = names[-1]
+            carry_parts = [buf[spans[-1][0] :]]
         writer.final_newline = not partial
         if partial:
             carry_parts.append(partial)  # final line without newline

@@ -244,21 +244,36 @@ def main(argv: list[str] | None = None) -> int:
                 else:
                     sys.stdout.buffer.write(archive)
             return 0
-        if encode and opts["input"] not in (None, "-") :
-            # named-file encode streams chunk-by-chunk (constant memory in
-            # the corpus size; api.compress_bed_file) straight to the sink
-            from starch3_tpu.api import compress_bed_file
+        if encode:
+            # every encode streams chunk-by-chunk (constant memory in the
+            # corpus size) straight to the sink — named files AND pipes
+            # (the reference's producer is O(1)-memory on stdin too,
+            # starch3api.hpp:158-199)
+            from starch3_tpu.api import compress_bed_file, compress_bed_stream
 
-            if not os.path.exists(opts["input"]):
-                raise InputUnavailableError(
-                    f"input file {opts['input']!r} does not exist"
-                )
             config = EncodeConfig(
                 note=opts["note"],
                 method=opts["method"] or CompressionMethod.default(),
                 use_jax=opts["jax"],
                 gzip_level=opts["gzip_level"] or 6,
             )
+            if opts["input"] in (None, "-"):
+                # refuse a TTY stdin, as the reference does
+                # (starch3api.hpp:890-905)
+                mode = os.fstat(sys.stdin.fileno()).st_mode
+                if not (stat.S_ISFIFO(mode) or stat.S_ISREG(mode)):
+                    raise InputUnavailableError(
+                        "no input stream available: pipe data in or name a file"
+                    )
+                _stream_to_sink(
+                    opts["output"],
+                    lambda f: compress_bed_stream(sys.stdin.buffer, f, config),
+                )
+                return 0
+            if not os.path.exists(opts["input"]):
+                raise InputUnavailableError(
+                    f"input file {opts['input']!r} does not exist"
+                )
             _stream_to_sink(
                 opts["output"], lambda f: compress_bed_file(opts["input"], f, config)
             )
@@ -293,24 +308,15 @@ def main(argv: list[str] | None = None) -> int:
             for r in rows:
                 print("\t".join(str(r[c]) for c in cols))
             return 0
-        if opts["decode"] and opts["chrom"]:
+        # only decode reaches here (encode and --list returned above)
+        if opts["chrom"]:
             from starch3_tpu.api import extract_chromosome
 
             out = extract_chromosome(data, opts["chrom"])
-        elif opts["decode"]:
+        else:
             from starch3_tpu.api import decompress_starch_bytes
 
             out = decompress_starch_bytes(data, use_jax=opts["jax"])
-        else:
-            from starch3_tpu.api import compress_bed_bytes
-
-            config = EncodeConfig(
-                note=opts["note"],
-                method=opts["method"] or CompressionMethod.default(),
-                use_jax=opts["jax"],
-                gzip_level=opts["gzip_level"] or 6,
-            )
-            out = compress_bed_bytes(data, config)
         if opts["output"]:
             with open(opts["output"], "wb") as f:
                 f.write(out)

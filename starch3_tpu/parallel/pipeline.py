@@ -1206,17 +1206,30 @@ def decode_streams(
         if not 1 <= level <= 9:
             raise FormatError("bzip2: bad block-size digit")
         max_block = 100_000 * level + 64
+        from starch3_tpu.runtime import read_block_symbols_native
+
         br = BitReader(stream)
         br.read(32)
         blocks = []
         while True:
+            magic_pos = br.bit_pos
             magic = br.read(48)
             if magic == STREAM_END_MAGIC:
                 stored = br.read(32)
                 break
             if magic != BLOCK_MAGIC:
                 raise FormatError("bzip2: bad block magic")
-            crc, ptr, in_use, symbols = read_block_symbols(br)
+            # the per-symbol Huffman walk is the host-sequential half of
+            # device decode; the native entry is ~40x the Python bit loop
+            try:
+                native = read_block_symbols_native(stream, magic_pos, level)
+            except ValueError as e:
+                raise FormatError(str(e)) from None
+            if native is not None:
+                crc, ptr, in_use, symbols, next_pos = native
+                br._pos = next_pos
+            else:
+                crc, ptr, in_use, symbols = read_block_symbols(br)
             n_exp = _rle2_decoded_len(np.asarray(symbols))
             if not 0 < n_exp <= max_block or ptr >= n_exp:
                 raise FormatError("bzip2: bad block geometry")

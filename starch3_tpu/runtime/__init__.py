@@ -103,6 +103,12 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.s3_read_block_symbols.restype = ctypes.c_int64
+        lib.s3_read_block_symbols.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.s3_bwt.restype = ctypes.c_int64
         lib.s3_bwt.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
         lib.s3_rle2_from_ranks.restype = ctypes.c_int64
@@ -484,6 +490,39 @@ def bz2_decode_block_native(stream: bytes, bit_offset: int, level: int):
         raise ValueError(
             "bzip2: corrupt stream" if n != -3 else "bzip2: CRC mismatch"
         )
+
+
+def read_block_symbols_native(stream: bytes, bit_offset: int, level: int):
+    """Huffman-decode one block's RLE2 symbol stream at a known bit
+    offset (runtime.cpp s3_read_block_symbols): returns
+    (crc, orig_ptr, in_use bool[256], symbols int32[m], next_bit_pos)
+    or None when the native runtime is unavailable.  Raises ValueError
+    on corrupt streams."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.frombuffer(stream, dtype=np.uint8)
+    # RLE2 output is at most the post-RLE1 block size + 1 digit slack
+    cap = 100_000 * level + 128
+    syms = np.empty(cap, dtype=np.uint16)
+    in_use = np.zeros(256, dtype=np.uint8)
+    crc = ctypes.c_uint32()
+    ptr = ctypes.c_int32()
+    bitpos = ctypes.c_int64()
+    m = lib.s3_read_block_symbols(
+        arr.ctypes.data, arr.size, bit_offset, syms.ctypes.data, cap,
+        in_use.ctypes.data, ctypes.byref(crc), ctypes.byref(ptr),
+        ctypes.byref(bitpos),
+    )
+    if m < 0:
+        raise ValueError("bzip2: corrupt stream")
+    return (
+        int(crc.value),
+        int(ptr.value),
+        in_use.astype(bool),
+        syms[:m].astype(np.int32),
+        int(bitpos.value),
+    )
 
 
 def rle1_decode_native(data: bytes):

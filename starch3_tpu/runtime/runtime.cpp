@@ -1053,6 +1053,156 @@ static void crc_init() {
 
 namespace {
 
+// Everything a block's coded-data loop needs, parsed from the bit
+// stream once (headers, symbol map, selectors, canonical tables, and
+// the 10-bit fast-decode LUT).  Shared by the full decoder (dec_block)
+// and the symbols-only export (s3_read_block_symbols) that feeds the
+// device decode pipeline.
+struct BlockHead {
+    uint32_t block_crc;
+    uint32_t orig_ptr;
+    uint8_t seq_to_byte[256];
+    int n_in_use, alpha, n_groups, n_sel;
+    uint8_t* sels;  // thread-local buffer owned by parse_block_head
+    int32_t limit[6][25], base[6][25], perm[6][258], min_len_t[6];
+    static constexpr int kLut = 10;
+    uint16_t (*lut)[1 << kLut];  // thread-local [6][1024]
+};
+
+// Parse one block's headers (48-bit magic already consumed) up to the
+// first coded symbol.  Returns 0, or -1 on malformed input.
+static int parse_block_head(BitReader& br, BlockHead& H) {
+    H.block_crc = br.read(32);
+    if (br.bit()) return -1;  // randomised unsupported (1.0.x never)
+    H.orig_ptr = br.read(24);
+    // symbol map
+    uint16_t gmask = (uint16_t)br.read(16);
+    H.n_in_use = 0;
+    for (int g = 0; g < 16; g++) {
+        if ((gmask >> (15 - g)) & 1) {
+            uint16_t bits = (uint16_t)br.read(16);
+            for (int b = 0; b < 16; b++)
+                if ((bits >> (15 - b)) & 1)
+                    H.seq_to_byte[H.n_in_use++] = (uint8_t)(g * 16 + b);
+        }
+    }
+    if (H.n_in_use == 0 || !br.ok) return -1;
+    H.alpha = H.n_in_use + 2;
+    const int alpha = H.alpha;
+    H.n_groups = br.read(3);
+    if (H.n_groups < 2 || H.n_groups > 6) return -1;
+    H.n_sel = br.read(15);
+    if (H.n_sel < 1 || !br.ok) return -1;
+    // selectors (MTF-coded unary)
+    static thread_local uint8_t* sels = nullptr;
+    static thread_local int64_t sels_cap = 0;
+    if (sels_cap < H.n_sel) {
+        delete[] sels;
+        sels = new uint8_t[H.n_sel];
+        sels_cap = H.n_sel;
+    }
+    H.sels = sels;
+    {
+        uint8_t pos_[6] = {0, 1, 2, 3, 4, 5};
+        for (int i = 0; i < H.n_sel; i++) {
+            int j = 0;
+            while (br.bit()) {
+                j++;
+                if (j >= H.n_groups || !br.ok) return -1;
+            }
+            uint8_t s = pos_[j];
+            for (int t = j; t > 0; t--) pos_[t] = pos_[t - 1];
+            pos_[0] = s;
+            sels[i] = s;
+        }
+    }
+    // code lengths -> canonical decode tables
+    int32_t len[6][258];
+    for (int t = 0; t < H.n_groups; t++) {
+        int curr = br.read(5);
+        for (int s = 0; s < alpha; s++) {
+            for (;;) {
+                if (curr < 1 || curr > 23 || !br.ok) return -1;
+                if (!br.bit()) break;
+                if (br.bit()) curr--; else curr++;
+            }
+            len[t][s] = curr;
+        }
+    }
+    for (int t = 0; t < H.n_groups; t++) {
+        int mn = 32, mx = 0;
+        for (int s = 0; s < alpha; s++) {
+            if (len[t][s] < mn) mn = len[t][s];
+            if (len[t][s] > mx) mx = len[t][s];
+        }
+        H.min_len_t[t] = mn;
+        // corrupt streams may encode incomplete prefix codes whose
+        // walk exits past mx; keep base defined there and bounds-
+        // check the perm index at use sites
+        for (int l = 0; l < 25; l++) H.base[t][l] = 0;
+        int pp = 0;
+        for (int l = mn; l <= mx; l++)
+            for (int s = 0; s < alpha; s++)
+                if (len[t][s] == l) H.perm[t][pp++] = s;
+        int32_t cnt[25] = {0};
+        for (int s = 0; s < alpha; s++) cnt[len[t][s]]++;
+        int vec = 0, rank = 0;
+        for (int l = mn; l <= mx; l++) {
+            H.base[t][l] = vec - rank;
+            rank += cnt[l];
+            vec += cnt[l];
+            H.limit[t][l] = vec - 1;
+            vec <<= 1;
+        }
+        for (int l = mx + 1; l < 25; l++) H.limit[t][l] = 0x7FFFFFFF;
+    }
+    // fast Huffman decode LUT: a 10-bit window resolves most codes
+    // in one lookup (entry = (sym << 5) | len; 0xFFFF = longer code,
+    // take the canonical limit/base walk)
+    constexpr int kLut = BlockHead::kLut;
+    static thread_local uint16_t lut[6][1 << kLut];
+    H.lut = lut;
+    for (int t = 0; t < H.n_groups; t++) {
+        for (int w = 0; w < (1 << kLut); w++) {
+            int l = H.min_len_t[t];
+            uint16_t e = 0xFFFF;
+            while (l <= kLut) {
+                int32_t v = w >> (kLut - l);
+                if (v <= H.limit[t][l]) {
+                    int32_t pi = v - H.base[t][l];
+                    if (pi >= 0 && pi < alpha)
+                        e = (uint16_t)((H.perm[t][pi] << 5) | l);
+                    break;  // out-of-range: leave 0xFFFF -> slow path
+                }
+                l++;
+            }
+            lut[t][w] = e;
+        }
+    }
+    return 0;
+}
+
+// Decode the next coded symbol of table t, or -1 on malformed input.
+static inline int next_symbol(BitReader& br, const BlockHead& H, int t,
+                              int64_t total_bits) {
+    uint16_t e = H.lut[t][br.peek(BlockHead::kLut)];
+    if (e != 0xFFFF) {
+        br.pos += e & 31;
+        if (br.pos > total_bits) return -1;
+        return e >> 5;
+    }
+    int l = H.min_len_t[t];
+    int32_t v = br.read(l);
+    while (v > H.limit[t][l]) {
+        v = (v << 1) | br.bit();
+        l++;
+        if (l > 23 || !br.ok) return -1;
+    }
+    int32_t pi = v - H.base[t][l];
+    if (pi < 0 || pi >= H.alpha) return -1;  // incomplete code
+    return H.perm[t][pi];
+}
+
 // Decode one block whose 48-bit magic has already been consumed; appends
 // at out+out_len, returns the appended byte count or -1 (malformed),
 // -2 (capacity), -3 (CRC).  *crc_out receives the verified block CRC.
@@ -1072,115 +1222,17 @@ static int64_t dec_block(BitReader& br, int64_t max_block, uint8_t* out,
     }
     const int64_t out_start = out_len;
     {
-        uint32_t block_crc = br.read(32);
-        if (br.bit()) return -1;  // randomised unsupported (1.0.x never)
-        uint32_t orig_ptr = br.read(24);
-        // symbol map
-        uint16_t gmask = (uint16_t)br.read(16);
-        uint8_t seq_to_byte[256];
-        int n_in_use = 0;
-        for (int g = 0; g < 16; g++) {
-            if ((gmask >> (15 - g)) & 1) {
-                uint16_t bits = (uint16_t)br.read(16);
-                for (int b = 0; b < 16; b++)
-                    if ((bits >> (15 - b)) & 1)
-                        seq_to_byte[n_in_use++] = (uint8_t)(g * 16 + b);
-            }
-        }
-        if (n_in_use == 0 || !br.ok) return -1;
-        int alpha = n_in_use + 2;
-        int n_groups = br.read(3);
-        if (n_groups < 2 || n_groups > 6) return -1;
-        int n_sel = br.read(15);
-        if (n_sel < 1 || !br.ok) return -1;
-        // selectors (MTF-coded unary)
-        static thread_local uint8_t* sels = nullptr;
-        static thread_local int64_t sels_cap = 0;
-        if (sels_cap < n_sel) {
-            delete[] sels;
-            sels = new uint8_t[n_sel];
-            sels_cap = n_sel;
-        }
-        {
-            uint8_t pos_[6] = {0, 1, 2, 3, 4, 5};
-            for (int i = 0; i < n_sel; i++) {
-                int j = 0;
-                while (br.bit()) {
-                    j++;
-                    if (j >= n_groups || !br.ok) return -1;
-                }
-                uint8_t s = pos_[j];
-                for (int t = j; t > 0; t--) pos_[t] = pos_[t - 1];
-                pos_[0] = s;
-                sels[i] = s;
-            }
-        }
-        // code lengths -> canonical decode tables
-        int32_t len[6][258];
-        for (int t = 0; t < n_groups; t++) {
-            int curr = br.read(5);
-            for (int s = 0; s < alpha; s++) {
-                for (;;) {
-                    if (curr < 1 || curr > 23 || !br.ok) return -1;
-                    if (!br.bit()) break;
-                    if (br.bit()) curr--; else curr++;
-                }
-                len[t][s] = curr;
-            }
-        }
-        int32_t limit[6][25], base[6][25], perm[6][258], min_len_t[6];
-        for (int t = 0; t < n_groups; t++) {
-            int mn = 32, mx = 0;
-            for (int s = 0; s < alpha; s++) {
-                if (len[t][s] < mn) mn = len[t][s];
-                if (len[t][s] > mx) mx = len[t][s];
-            }
-            min_len_t[t] = mn;
-            // corrupt streams may encode incomplete prefix codes whose
-            // walk exits past mx; keep base defined there and bounds-
-            // check the perm index at use sites
-            for (int l = 0; l < 25; l++) base[t][l] = 0;
-            int pp = 0;
-            for (int l = mn; l <= mx; l++)
-                for (int s = 0; s < alpha; s++)
-                    if (len[t][s] == l) perm[t][pp++] = s;
-            int32_t cnt[25] = {0};
-            for (int s = 0; s < alpha; s++) cnt[len[t][s]]++;
-            int vec = 0, rank = 0;
-            for (int l = mn; l <= mx; l++) {
-                base[t][l] = vec - rank;
-                rank += cnt[l];
-                vec += cnt[l];
-                limit[t][l] = vec - 1;
-                vec <<= 1;
-            }
-            for (int l = mx + 1; l < 25; l++) limit[t][l] = 0x7FFFFFFF;
-        }
-        // fast Huffman decode LUT: a 10-bit window resolves most codes
-        // in one lookup (entry = (sym << 5) | len; 0xFFFF = longer code,
-        // take the canonical limit/base walk)
-        constexpr int kLut = 10;
-        static thread_local uint16_t lut[6][1 << kLut];
-        for (int t = 0; t < n_groups; t++) {
-            for (int w = 0; w < (1 << kLut); w++) {
-                int l = min_len_t[t];
-                uint16_t e = 0xFFFF;
-                while (l <= kLut) {
-                    int32_t v = w >> (kLut - l);
-                    if (v <= limit[t][l]) {
-                        int32_t pi = v - base[t][l];
-                        if (pi >= 0 && pi < alpha)
-                            e = (uint16_t)((perm[t][pi] << 5) | l);
-                        break;  // out-of-range: leave 0xFFFF -> slow path
-                    }
-                    l++;
-                }
-                lut[t][w] = e;
-            }
-        }
+        BlockHead H;
+        if (parse_block_head(br, H) < 0) return -1;
+        const uint32_t block_crc = H.block_crc;
+        const uint32_t orig_ptr = H.orig_ptr;
+        const int n_in_use = H.n_in_use;
+        const uint8_t* seq_to_byte = H.seq_to_byte;
+        const int n_sel = H.n_sel;
+        const uint8_t* sels = H.sels;
         const int64_t total_bits = br.nbytes * 8;
         // symbol loop: inverse RLE2 + MTF straight into tt[]
-        int eob = alpha - 1;
+        int eob = H.alpha - 1;
         uint8_t mtf[256];
         for (int i = 0; i < n_in_use; i++) mtf[i] = seq_to_byte[i];
         int64_t nblock = 0;
@@ -1193,25 +1245,8 @@ static int64_t dec_block(BitReader& br, int64_t max_block, uint8_t* out,
                 gpos = 50;
             }
             gpos--;
-            int t = sels[g];
-            int sym;
-            uint16_t e = lut[t][br.peek(kLut)];
-            if (e != 0xFFFF) {
-                sym = e >> 5;
-                br.pos += e & 31;
-                if (br.pos > total_bits) return -1;
-            } else {
-                int l = min_len_t[t];
-                int32_t v = br.read(l);
-                while (v > limit[t][l]) {
-                    v = (v << 1) | br.bit();
-                    l++;
-                    if (l > 23 || !br.ok) return -1;
-                }
-                int32_t pi = v - base[t][l];
-                if (pi < 0 || pi >= alpha) return -1;  // incomplete code
-                sym = perm[t][pi];
-            }
+            int sym = next_symbol(br, H, sels[g], total_bits);
+            if (sym < 0) return -1;
             if (sym == eob) break;
             if (sym <= 1) {  // RUNA/RUNB
                 run += run_w << sym;
@@ -1349,6 +1384,50 @@ int64_t s3_bz2_decode_block(const uint8_t* in, int64_t in_len,
     if (br.read48() != 0x314159265359ULL || !br.ok) return -1;
     const int64_t max_block = 100000LL * level + 64;
     return dec_block(br, max_block, out, out_cap, 0, crc_out);
+}
+
+// Parse one block down to its Huffman-decoded RLE2 symbol stream WITHOUT
+// inverting RLE2/MTF/BWT — the host-sequential half of device-pipeline
+// decode (the inverses run batched on the TPU; behavioral spec:
+// starch3_tpu/codec/decoder.py read_block_symbols).  ``bit_offset``
+// addresses the block's 48-bit magic inside the whole stream.  Writes
+// the symbols (EOB excluded) to syms_out, the 256-entry used-byte map
+// to in_use_out, and the bit position just past the coded data (i.e.
+// of the next block's magic) to *bitpos_out.  Returns the symbol count,
+// -1 on malformed input, -2 if syms_cap is too small.
+int64_t s3_read_block_symbols(const uint8_t* in, int64_t in_len,
+                              int64_t bit_offset, uint16_t* syms_out,
+                              int64_t syms_cap, uint8_t* in_use_out,
+                              uint32_t* crc_out, int32_t* ptr_out,
+                              int64_t* bitpos_out) {
+    BitReader br{in, in_len};
+    br.pos = bit_offset;
+    if (br.read48() != 0x314159265359ULL || !br.ok) return -1;
+    BlockHead H;
+    if (parse_block_head(br, H) < 0) return -1;
+    for (int i = 0; i < 256; i++) in_use_out[i] = 0;
+    for (int i = 0; i < H.n_in_use; i++) in_use_out[H.seq_to_byte[i]] = 1;
+    *crc_out = H.block_crc;
+    *ptr_out = (int32_t)H.orig_ptr;
+    const int64_t total_bits = br.nbytes * 8;
+    const int eob = H.alpha - 1;
+    int64_t m = 0;
+    int g = -1, gpos = 0;
+    for (;;) {
+        if (gpos == 0) {
+            g++;
+            if (g >= H.n_sel) return -1;
+            gpos = 50;
+        }
+        gpos--;
+        int sym = next_symbol(br, H, H.sels[g], total_bits);
+        if (sym < 0) return -1;
+        if (sym == eob) break;
+        if (m >= syms_cap) return -2;
+        syms_out[m++] = (uint16_t)sym;
+    }
+    *bitpos_out = br.pos;
+    return m;
 }
 
 // ---------------------------------------------------------------------------
