@@ -156,6 +156,7 @@ def encode_corpus_multihost(
                 batch_size=config.blocks_per_batch,
                 device_rle2=config.device_rle2,
                 fast_bwt=config.fast_bwt,
+                device_huffman=config.device_huffman,
             )
             for (chrom, tf, digest), e in zip(todo, encoded):
                 _finish(chrom, tf, digest, e.data, list(e.block_bit_offsets))
@@ -183,13 +184,15 @@ def gather_results_jax(
     """All-gather per-chromosome (stream, stats) across processes over
     the JAX runtime (DCN between real hosts).
 
-    Collective: every process must call it.  Payload protocol: each
-    host JSON-encodes {chrom: {stats..., streamHex-less}} and lays its
-    streams into a [n_chroms, max_len] uint8 buffer (foreign rows
-    zero); ``process_allgather`` moves both; every host then picks each
-    chromosome's row from its owner.  Suited to corpora whose streams
-    fit memory x host count; beyond that, use a shared manifest
-    directory instead (gather_results_manifest).
+    Collective: every process must call it.  Payload protocol (ragged,
+    size-prefixed): each host concatenates ITS streams back-to-back in
+    chromosome order into one buffer; per-(host, chromosome) lengths
+    travel as one small int64 grid; ``process_allgather`` then moves the
+    buffers padded to the LARGEST SINGLE HOST'S payload.  Per-host
+    gather memory is therefore O(total archive bytes) for a balanced
+    shard (and O(archive x skew) at worst), not the round-2 dense
+    [n_chroms, max_stream, n_hosts] grid that hit ~12 GB/host at
+    BASELINE config-5 scale.
     """
     import jax
     from jax.experimental import multihost_utils
@@ -214,8 +217,8 @@ def gather_results_jax(
     for p in range(n_proc):
         all_stats.update(json.loads(bytes(blobs[p][: int(sizes[p])]).decode() or "{}"))
 
-    # stream bytes: one [n_chroms, max_len] buffer per host, zero rows
-    # for chromosomes owned elsewhere
+    # per-(host, chrom) stream lengths: zero for chromosomes owned
+    # elsewhere, so a plain cumsum doubles as the packing offsets
     lens = np.zeros(len(chrom_order), dtype=np.int64)
     for ci, chrom in enumerate(chrom_order):
         if chrom in results:
@@ -223,22 +226,32 @@ def gather_results_jax(
     all_lens = np.asarray(
         multihost_utils.process_allgather(lens)
     ).reshape(n_proc, len(chrom_order))
-    max_len = int(all_lens.max()) if len(chrom_order) else 0
-    buf = np.zeros((len(chrom_order), max_len), dtype=np.uint8)
-    for ci, chrom in enumerate(chrom_order):
-        if chrom in results:
-            b = results[chrom][0]
-            buf[ci, : len(b)] = np.frombuffer(b, dtype=np.uint8)
-    all_bufs = np.asarray(multihost_utils.process_allgather(buf))
 
+    # this host's streams, concatenated in chromosome order
+    payload = b"".join(
+        results[chrom][0] for chrom in chrom_order if chrom in results
+    )
+    pay_arr = np.frombuffer(payload, dtype=np.uint8)
+    pay_sizes = multihost_utils.process_allgather(
+        np.array([pay_arr.size], dtype=np.int64)
+    ).reshape(-1)
+    pay_pad = int(pay_sizes.max()) if len(chrom_order) else 0
+    pay_padded = np.zeros(pay_pad, dtype=np.uint8)
+    pay_padded[: pay_arr.size] = pay_arr
+    all_payloads = np.asarray(multihost_utils.process_allgather(pay_padded))
+
+    # exclusive cumsum per host recovers each stream's offset
+    starts = np.zeros_like(all_lens)
+    starts[:, 1:] = np.cumsum(all_lens, axis=1)[:, :-1]
     gathered: dict[str, tuple[bytes, dict]] = {}
     for ci, chrom in enumerate(chrom_order):
         owners = np.nonzero(all_lens[:, ci])[0]
         if owners.size == 0:
             raise RuntimeError(f"no host produced stream for {chrom}")
         p = int(owners[0])
+        lo = int(starts[p, ci])
         gathered[chrom] = (
-            bytes(all_bufs[p, ci, : int(all_lens[p, ci])]),
+            bytes(all_payloads[p, lo : lo + int(all_lens[p, ci])]),
             all_stats[chrom],
         )
     return gathered
