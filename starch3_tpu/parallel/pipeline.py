@@ -49,13 +49,42 @@ N_MAX_BLOCK = 901_120
 
 
 def _use_pallas_mtf(mesh) -> bool:
-    """Pallas MTF on a directly-programmed TPU (measured ~2.5x the XLA
-    scan's compute at 901k); the XLA formulation stays the choice under
-    mesh sharding (SPMD partitioning of pallas_call is not exercised)
-    and on CPU backends (kernel would need interpret mode)."""
+    """Pallas MTF on a TPU backend (the XLA formulation stays the choice
+    on CPU, where the kernel would need interpret mode).  Under a mesh
+    the device steps are wrapped in jax.shard_map (``_shard_step``), so
+    each chip runs the kernel on its local batch shard — the SPMD
+    partitioner never has to split a pallas_call."""
     import jax
 
-    return mesh is None and jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu"
+
+
+def _shard_step(step, mesh, n_in: int, n_out: int):
+    """Wrap a batch-leading device step in shard_map over the block
+    mesh: inputs/outputs all shard on their leading (batch) axis.  This
+    is what lets the Pallas kernels run under multi-chip dispatch —
+    inside shard_map every array is the chip-local shard, so the kernel
+    grid is per-chip and XLA inserts no collectives (blocks never
+    exchange state)."""
+    if mesh is None:
+        return step
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from starch3_tpu.parallel.mesh import BLOCK_AXIS
+
+    spec = P(BLOCK_AXIS)
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(spec,) * n_in,
+        out_specs=spec if n_out == 1 else (spec,) * n_out,
+        # no collectives anywhere in the codec steps (blocks never
+        # exchange state), so the varying-axis type audit adds nothing;
+        # it also rejects the replicated lax.scan carries inside the
+        # MTF formulations
+        check_vma=False,
+    )
 
 
 def _bwt_remap(block, n, n_max):
@@ -95,7 +124,7 @@ def _batch_ranks(seqs, lens, n_max, pallas_mtf, width=256):
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_fused_step(n_max: int, pallas_mtf: bool = False):
+def _jitted_fused_step(n_max: int, pallas_mtf: bool = False, mesh=None):
     """BWT -> on-device dense symbol remap -> MTF, one dispatch per batch.
 
     Fusing keeps the 900 kB intermediate (BWT last column) in HBM instead
@@ -125,7 +154,7 @@ def _jitted_fused_step(n_max: int, pallas_mtf: bool = False):
         ranks = _batch_ranks(seqs, lens, n_max, pallas_mtf)
         return jax.vmap(pack_one)(ptrs, useds, ranks)
 
-    return jax.jit(step)
+    return jax.jit(_shard_step(step, mesh, 2, 1))
 
 
 # The fast path runs as TWO chained jitted programs (BWT+MTF, then
@@ -136,7 +165,7 @@ def _jitted_fused_step(n_max: int, pallas_mtf: bool = False):
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_bwt_mtf_fast(n_max: int, bits: int, pallas_mtf: bool = False):
+def _jitted_bwt_mtf_fast(n_max: int, bits: int, pallas_mtf: bool = False, mesh=None):
     """One-sort BWT (ops/bwt_fast.py) -> MTF ranks.
 
     Rotations are sorted once by a packed multi-symbol prefix key
@@ -166,11 +195,11 @@ def _jitted_bwt_mtf_fast(n_max: int, bits: int, pallas_mtf: bool = False):
         )
         return ptrs, ties, ranks
 
-    return jax.jit(step)
+    return jax.jit(_shard_step(step, mesh, 2, 3))
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_fused_step_ranks4(n_max: int, pallas_mtf: bool = False):
+def _jitted_fused_step_ranks4(n_max: int, pallas_mtf: bool = False, mesh=None):
     """The bits==4 production step: 3-operand one-sort BWT (payload in
     key3's low nibble, ops/bwt_fast.bwt_sort_fast3) -> narrow-alphabet
     Pallas MTF (ops/mtf_narrow_pallas.py) -> nibble-packed rank
@@ -216,11 +245,11 @@ def _jitted_fused_step_ranks4(n_max: int, pallas_mtf: bool = False):
         packed = jax.lax.bitcast_convert_type(word, jnp.int32)
         return jnp.concatenate([ptrs[:, None], ties[:, None], packed], axis=1)
 
-    return jax.jit(step)
+    return jax.jit(_shard_step(step, mesh, 2, 1))
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_rle2_pack(n_max: int, bits: int):
+def _jitted_rle2_pack(n_max: int, bits: int, mesh=None):
     """RLE2 + download packing over the BWT+MTF program's outputs.
 
     With a 4-bit alphabet every RLE2 symbol is <= n_in_use + 1 <= 17
@@ -253,13 +282,13 @@ def _jitted_rle2_pack(n_max: int, bits: int):
     def step(ptrs, ties, ranks, lens, nsyms):
         return jax.vmap(tail_one)(ptrs, ties, ranks, lens, nsyms)
 
-    return jax.jit(step)
+    return jax.jit(_shard_step(step, mesh, 5, 1))
 
 
-def _jitted_fused_step_fast(n_max: int, bits: int, pallas_mtf: bool = False):
+def _jitted_fused_step_fast(n_max: int, bits: int, pallas_mtf: bool = False, mesh=None):
     """The production fast step as the two chained programs above."""
-    step_a = _jitted_bwt_mtf_fast(n_max, bits, pallas_mtf)
-    step_b = _jitted_rle2_pack(n_max, bits)
+    step_a = _jitted_bwt_mtf_fast(n_max, bits, pallas_mtf, mesh)
+    step_b = _jitted_rle2_pack(n_max, bits, mesh)
 
     def step(seqs, lens, nsyms):
         ptrs, ties, ranks = step_a(seqs, lens)
@@ -269,7 +298,7 @@ def _jitted_fused_step_fast(n_max: int, bits: int, pallas_mtf: bool = False):
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_rle2_raw(n_max: int):
+def _jitted_rle2_raw(n_max: int, mesh=None):
     """RLE2 for the device-Huffman tail: the symbol stream STAYS on
     device; only [ptr, m, ties] + freq go home."""
     import jax
@@ -286,14 +315,14 @@ def _jitted_rle2_raw(n_max: int):
         )
         return small, syms
 
-    return jax.jit(step)
+    return jax.jit(_shard_step(step, mesh, 5, 2))
 
 
-def _jitted_fused_step_fast2(n_max: int, bits: int, pallas_mtf: bool = False):
+def _jitted_fused_step_fast2(n_max: int, bits: int, pallas_mtf: bool = False, mesh=None):
     """fast_huff's front half as the chained programs (see the split
     note above _jitted_bwt_mtf_fast)."""
-    step_a = _jitted_bwt_mtf_fast(n_max, bits, pallas_mtf)
-    step_b = _jitted_rle2_raw(n_max)
+    step_a = _jitted_bwt_mtf_fast(n_max, bits, pallas_mtf, mesh)
+    step_b = _jitted_rle2_raw(n_max, mesh)
 
     def step(seqs, lens, nsyms):
         ptrs, ties, ranks = step_a(seqs, lens)
@@ -343,7 +372,7 @@ def _jitted_emit_coded(n_max: int):
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_fused_step_rle2(n_max: int, pallas_mtf: bool = False):
+def _jitted_fused_step_rle2(n_max: int, pallas_mtf: bool = False, mesh=None):
     """BWT -> remap -> MTF -> RLE2, one dispatch per batch: the download
     is the coded symbol stream + frequencies (ops/rle2_jax.py), leaving
     only Huffman planning and bit emission on the host."""
@@ -370,7 +399,7 @@ def _jitted_fused_step_rle2(n_max: int, pallas_mtf: bool = False):
         ranks = _batch_ranks(seqs, lens, n_max, pallas_mtf)
         return jax.vmap(tail_one)(ptrs, useds, ranks, lens)
 
-    return jax.jit(step)
+    return jax.jit(_shard_step(step, mesh, 2, 1))
 
 
 def _unpack_results_rle2(out_d, b):
@@ -427,7 +456,7 @@ def device_encode_blocks(
         batch_d = jnp.asarray(batch)
         lens_d = jnp.asarray(lens)
 
-    out_d = _jitted_fused_step(n_max, _use_pallas_mtf(mesh))(batch_d, lens_d)
+    out_d = _jitted_fused_step(n_max, _use_pallas_mtf(mesh), mesh)(batch_d, lens_d)
     return _unpack_results(out_d, lens, b, n_max)
 
 
@@ -1072,9 +1101,9 @@ def _dispatch_chunk(block_datas, n_max, mesh, mode="ranks", pad_to=None):
             batch = batch[:, 0::2] | (batch[:, 1::2] << 4)
         arrays = _put_batch((batch, lens, nsyms), mesh)
         if mode == "fast_huff":
-            small_d, syms_d = _jitted_fused_step_fast2(n_max, bits, pallas_mtf)(
-                *arrays
-            )
+            small_d, syms_d = _jitted_fused_step_fast2(
+                n_max, bits, pallas_mtf, mesh
+            )(*arrays)
             # group histograms launch immediately so they overlap the
             # next batch's upload; m rides along on device
             m_d = small_d[:, 1]
@@ -1084,12 +1113,12 @@ def _dispatch_chunk(block_datas, n_max, mesh, mode="ranks", pad_to=None):
         if bits == 4:
             # round-3 fast path: 3-operand sort + narrow MTF; RLE2 is
             # host-native on the downloaded nibble-packed ranks
-            out_d = _jitted_fused_step_ranks4(n_max, pallas_mtf)(
+            out_d = _jitted_fused_step_ranks4(n_max, pallas_mtf, mesh)(
                 arrays[0], arrays[1]
             )
             _copy_to_host_async(out_d)
             return out_d, {"b": b, "useds": useds, "bits": 4, "lens": lens}
-        out_d = _jitted_fused_step_fast(n_max, bits, pallas_mtf)(*arrays)
+        out_d = _jitted_fused_step_fast(n_max, bits, pallas_mtf, mesh)(*arrays)
         # start the D2H transfer now: the drain's np.asarray would
         # otherwise block the driver thread for the whole batch
         # turnaround (compute + download), stalling the next dispatch
@@ -1104,9 +1133,9 @@ def _dispatch_chunk(block_datas, n_max, mesh, mode="ranks", pad_to=None):
         lens[i] = arr.size
     batch_d, lens_d = _put_batch((batch, lens), mesh)
     step = (
-        _jitted_fused_step_rle2(n_max, pallas_mtf)
+        _jitted_fused_step_rle2(n_max, pallas_mtf, mesh)
         if mode == "rle2"
-        else _jitted_fused_step(n_max, pallas_mtf)
+        else _jitted_fused_step(n_max, pallas_mtf, mesh)
     )
     out_d = step(batch_d, lens_d)
     _copy_to_host_async(out_d)

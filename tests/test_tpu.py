@@ -117,6 +117,38 @@ def test_full_archive_jax_equals_host_on_chip(rng):
     assert decompress_starch_bytes(a_jax) == bed
 
 
+def test_pallas_under_shard_map_on_chip(rng):
+    """The production step under a real-device mesh must (a) lower with
+    the Pallas kernel inside (tpu_custom_call in the HLO — the round-2
+    gate disabled Pallas whenever a mesh was given) and (b) produce
+    byte-identical archives."""
+    import bz2
+
+    import jax.numpy as jnp
+
+    from starch3_tpu.parallel.mesh import make_block_mesh
+    from starch3_tpu.parallel.pipeline import (
+        _jitted_fused_step_ranks4,
+        _use_pallas_mtf,
+        encode_streams,
+    )
+
+    mesh = make_block_mesh()
+    assert _use_pallas_mtf(mesh)  # no longer requires mesh is None
+    n_max = 16_384
+    step = _jitted_fused_step_ranks4(n_max, True, mesh)
+    packed = jnp.zeros((mesh.devices.size, n_max // 2), dtype=jnp.uint8)
+    lens = jnp.full((mesh.devices.size,), n_max - 8, jnp.int32)
+    hlo = step.lower(packed, lens).as_text()
+    assert "tpu_custom_call" in hlo  # the Pallas MTF kernel is inside
+
+    from starch3_tpu.api import _parse_transform
+
+    text = _parse_transform(make_bed_text(rng, n=4000))[0].text
+    got = encode_streams([text], mesh=mesh, host_assist=False)[0]
+    assert got.data == bz2.compress(text, 9)
+
+
 def test_device_huffman_tier_on_chip(rng):
     """EncodeConfig(device_huffman=True): MXU group costing + device
     bit-pack must still produce byte-identical streams."""
