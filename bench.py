@@ -4,9 +4,10 @@
 Primary workload: BASELINE.json config 2 — a whole-genome sorted BED
 (24 chromosomes, ~1.08M intervals, ~25 MB) encoded to a .starch archive
 through the full production pipeline.  The headline is the `--jax`
-path as shipped: device kernels (one-sort BWT -> Pallas MTF ->
-scatter-free RLE2) with host-assist work stealing — the hybrid IS the
-production device path; "device_only" in the detail isolates the chip.
+path as shipped: device kernels (3-operand one-sort BWT -> narrow
+Pallas MTF -> nibble-packed rank download, host-native RLE2 tail) with
+host-assist work stealing — the hybrid IS the production device path;
+"device_only" in the detail isolates the chip.
 
 Baseline: the reference cannot run end-to-end (its flush stage is a
 stub, reference include/starch3api.hpp:393-407), so per SURVEY.md §6 the
@@ -14,11 +15,15 @@ floor is stock libbz2 -9 compressing the same transformed texts
 single-threaded — exactly the codec work the reference's intended
 pipeline would do.
 
+Regression guard: normalized ratios (host and jax vs the same-run libbz2
+baseline) are compared against the newest committed BENCH_r*.json; drops
+>10% are flagged in the output's ``regressions`` field so a slide like
+round 2's host-path 2.47x -> 2.15x can't pass silently.
+
 Environment note recorded in the output: on this driver box the chip is
 reached through a tunnel measured at ~76 MB/s up / ~45 MB/s down, which
 taxes every device byte moved; docs/PERF.md carries the speed-of-light
-analysis (the BWT sort stage alone measures ~128 MB/s/chip batch-
-amortized at the 901k geometry).
+analysis.
 
 Correctness gates: archive round-trips byte-exactly, every stream is
 bit-identical to libbz2, and the jax-path archive equals the host-path
@@ -29,8 +34,10 @@ Prints ONE json line:
 """
 
 import bz2 as stdlib_bz2
+import glob
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -86,6 +93,126 @@ def measure_encode(bed: bytes, use_jax: bool, reps: int = 3) -> tuple[float, byt
     return best, archive
 
 
+def _per_chip_stage_rates() -> dict:
+    """Batch-amortized on-chip rates of the production stages at the two
+    hot geometry buckets (compile-cached; blocks from the bench corpus)."""
+    import jax
+    import jax.numpy as jnp
+
+    from starch3_tpu.api import _parse_transform
+    from starch3_tpu.codec.rle1 import rle1_split_blocks
+    from starch3_tpu.ops.bwt_fast import bwt_sort_fast3
+    from starch3_tpu.ops.mtf_narrow_pallas import mtf_ranks_narrow_batch
+    from starch3_tpu.parallel.pipeline import _jitted_fused_step_ranks4
+
+    if jax.default_backend() != "tpu":
+        return {"note": "no TPU visible; stage rates skipped"}
+
+    bed = make_genome_bed()
+    texts = [tf.text for tf in _parse_transform(bed)]
+    datas = sorted(
+        (np.frombuffer(b.data, np.uint8) for t in texts
+         for b in rle1_split_blocks(t, 9)),
+        key=lambda a: -a.size,
+    )
+
+    def bench_fn(fn, *args, reps=6):
+        out = fn(*args)
+        np.asarray(jnp.ravel(out if not isinstance(out, tuple) else out[0])[0])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        np.asarray(jnp.ravel(out if not isinstance(out, tuple) else out[0])[0])
+        return (time.perf_counter() - t0) / reps
+
+    rates = {}
+    B = 6  # batch-amortized: the sort's dispatch overheads shrink with B
+    for n_max in (458_752, 901_120):
+        fit = [a for a in datas if a.size <= n_max][:B]
+        while len(fit) < B:
+            fit.append(fit[len(fit) % max(len(fit), 1)])
+        seqs = np.zeros((B, n_max), np.int32)
+        lens = np.zeros(B, np.int32)
+        for i, arr in enumerate(fit):
+            used = np.bincount(arr, minlength=256) > 0
+            u2s = (np.cumsum(used) - 1).astype(np.int32)
+            seqs[i, : arr.size] = u2s[arr]
+            lens[i] = arr.size
+        seqs_d, lens_d = jnp.asarray(seqs), jnp.asarray(lens)
+        packed_d = jnp.asarray((seqs[:, 0::2] | (seqs[:, 1::2] << 4)).astype(np.uint8))
+        dt_sort = bench_fn(
+            jax.jit(jax.vmap(lambda s, n: bwt_sort_fast3(s, n, n_max))),
+            seqs_d, lens_d,
+        )
+        dt_mtf = bench_fn(
+            jax.jit(lambda s: mtf_ranks_narrow_batch(s, n_max)), seqs_d
+        )
+        dt_full = bench_fn(
+            _jitted_fused_step_ranks4(n_max, True), packed_d, lens_d
+        )
+        key = "448k" if n_max == 458_752 else "901k"
+        mbps = lambda dt: round(B * n_max / dt / 1e6, 1)
+        rates[key] = {
+            "bwt_one_sort_3op": mbps(dt_sort),
+            "mtf_narrow_pallas": mbps(dt_mtf),
+            "full_step_combined": mbps(dt_full),
+        }
+    rates["note"] = (
+        "batch-6-amortized on-chip compute (upload/download excluded); "
+        "RLE2 runs in the native host tail in this mode — see docs/PERF.md"
+    )
+    return rates
+
+
+def _load_previous_bench() -> tuple[str, dict] | None:
+    """Newest committed BENCH_r*.json for the regression guard."""
+    best = None
+    for path in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        if best is None or int(m.group(1)) > best[0]:
+            best = (int(m.group(1)), path)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            raw = json.load(f)
+    except Exception:
+        return None
+    parsed = raw.get("parsed", raw)
+    if "value" not in parsed:
+        return None
+    return f"r{best[0]:02d}", parsed
+
+
+def _regression_check(headline_ratio: float, host_ratio: float) -> dict:
+    prev = _load_previous_bench()
+    if prev is None:
+        return {"checked_against": None, "flags": []}
+    tag, parsed = prev
+    flags = []
+    base = parsed.get("detail", {}).get("baseline_libbz2_1core_mb_s")
+    prev_head = parsed.get("vs_baseline")
+    prev_host = None
+    if base:
+        ph = parsed.get("detail", {}).get("host_path_mb_s")
+        prev_host = ph / base if ph else None
+    for name, now, then in (
+        ("headline_vs_baseline", headline_ratio, prev_head),
+        ("host_vs_baseline", host_ratio, prev_host),
+    ):
+        if then and now < 0.9 * then:
+            flags.append(
+                f"{name} regressed >10%: {now:.2f}x vs {tag}'s {then:.2f}x"
+            )
+    return {
+        "checked_against": tag,
+        "previous": {"headline": prev_head, "host": prev_host},
+        "flags": flags,
+    }
+
+
 def main() -> int:
     if "--jax-worker" in sys.argv:
         # subprocess mode: the production device path (hybrid) plus a
@@ -93,7 +220,7 @@ def main() -> int:
         # one-time compiles are shared
         from starch3_tpu.api import _parse_transform, compress_bed_bytes
         from starch3_tpu.config import EncodeConfig
-        from starch3_tpu.parallel.pipeline import encode_streams
+        from starch3_tpu.parallel.pipeline import decode_streams, encode_streams
 
         from starch3_tpu.observability import StageTimer
 
@@ -109,6 +236,16 @@ def main() -> int:
             t0 = time.perf_counter()
             encode_streams(texts, host_assist=False)
             dev_dt = min(dev_dt, time.perf_counter() - t0)
+        # device decode chain (native symbol decode feeding the inverse
+        # kernels); reported for completeness — the inverse BWT is a
+        # dependent-gather walk, so the host LF walk owns production
+        # decode (docs/PERF.md)
+        streams = [stdlib_bz2.compress(t, 9) for t in texts]
+        ddec_dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            decode_streams(streams)
+            ddec_dt = min(ddec_dt, time.perf_counter() - t0)
         sys.stdout.write(
             json.dumps(
                 {
@@ -117,8 +254,10 @@ def main() -> int:
                     "in": len(bed),
                     "identical_to_host": archive == host_archive,
                     "device_only_seconds": dev_dt,
+                    "device_decode_seconds": ddec_dt,
                     "transformed_bytes": sum(map(len, texts)),
                     "stages": stage_timer.report(),
+                    "per_chip_stage_rates": _per_chip_stage_rates(),
                 }
             )
             + "\n"
@@ -169,7 +308,7 @@ def main() -> int:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--jax-worker"],
                 capture_output=True,
-                timeout=900,
+                timeout=2400,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             if r.returncode == 0:
@@ -191,7 +330,11 @@ def main() -> int:
             "device_only_mb_s_input_equiv": round(
                 jax["in"] / jax["device_only_seconds"] / 1e6, 3
             ),
+            "device_decode_mb_s_input_equiv": round(
+                jax["in"] / jax["device_decode_seconds"] / 1e6, 3
+            ),
             "jax_path_stages": jax.get("stages", {}),
+            "per_chip_stage_rates": jax.get("per_chip_stage_rates", {}),
         }
     else:
         mbps = host_mbps
@@ -200,6 +343,8 @@ def main() -> int:
             " 24 chroms, end-to-end; jax worker unavailable)"
         )
         device_only = {}
+
+    regressions = _regression_check(mbps / baseline_mbps, host_mbps / baseline_mbps)
 
     print(
         json.dumps(
@@ -218,20 +363,14 @@ def main() -> int:
                     "decode_mb_s": round(decode_mbps, 3),
                     "chr21_single_stream_mb_s": round(chr21_mbps, 3),
                     **device_only,
-                    "per_chip_stage_rates_mb_s_901k": {
-                        "bwt_one_sort": 128.4,
-                        "mtf_pallas_w128": 104.8,
-                        "rle2_scatter_free": 71.1,
-                        "note": "batch-amortized on-chip rates from "
-                        "benchmarks/profile_device.py this round; "
-                        "see docs/PERF.md for the speed-of-light analysis",
-                    },
+                    "regressions": regressions,
                     "tunnel_mb_s": {"upload": 76, "download": 45},
                     "scale_1gb": {
                         "encode_mb_s": 48.7,
                         "decode_mb_s": 67.5,
                         "peak_rss_mb": 620,
-                        "source": "tests/test_archive.py TestGigabyteScale (slow)",
+                        "source": "tests/test_archive.py TestGigabyteScale "
+                        "(slow; round-2 measurement)",
                     },
                 },
             }

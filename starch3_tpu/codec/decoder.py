@@ -2,9 +2,11 @@
 
 Parses the container described in encoder.py, Huffman-decodes the symbol
 stream with canonical limit/base tables, inverts RLE2+MTF, the BWT and
-RLE1, and verifies both block CRCs and the stream CRC.  Handles the legacy
-``randomised`` flag by rejecting it (the 1.0.x compressor never sets it,
-and the reference pipeline only ever produces 1.0.x streams).
+RLE1, and verifies both block CRCs and the stream CRC.  Legacy
+``randomised`` blocks (emitted by bzip2 <= 0.9.0, never by 1.0.x) are
+de-randomised after the inverse BWT (codec/randtable.py) — full decode
+parity with the reference's bundled libbz2 (decompress.c:545-575 via the
+tarball).
 
 This is the behavioral counterpart of the decompression half of the
 reference's bundled libbz2 (decompress.c in third-party/bzip2-1.0.6.tar.gz)
@@ -102,12 +104,12 @@ def _decode_symbols(
 def read_block_symbols(br: BitReader):
     """Parse one block's bit stream (magic already consumed) down to the
     Huffman-decoded symbol stream — the host-sequential half of block
-    decode.  Returns (block_crc, orig_ptr, in_use, symbols); the
-    remaining stages (RLE2/MTF/BWT/RLE1 inversion) are vectorizable and
-    have device kernels (ops/irle2_jax.py, imtf_jax.py, ibwt_jax.py)."""
+    decode.  Returns (block_crc, orig_ptr, in_use, symbols, randomised);
+    the remaining stages (RLE2/MTF/BWT/RLE1 inversion) are vectorizable
+    and have device kernels (ops/irle2_jax.py, imtf_jax.py,
+    ibwt_jax.py)."""
     block_crc = br.read(32)
-    if br.read_bit():
-        raise FormatError("bzip2: randomised blocks are not supported")
+    randomised = bool(br.read_bit())
     orig_ptr = br.read(24)
     group_mask = br.read(16)
     in_use = np.zeros(256, dtype=bool)
@@ -139,16 +141,20 @@ def read_block_symbols(br: BitReader):
         selectors[i] = s
     lengths = _decode_huffman_tables(br, n_groups, alpha_size)
     symbols = _decode_symbols(br, lengths, selectors, alpha_size)
-    return block_crc, orig_ptr, in_use, symbols
+    return block_crc, orig_ptr, in_use, symbols, randomised
 
 
 def read_block(br: BitReader) -> bytes:
     """Decode one block (magic already consumed); returns original bytes."""
-    block_crc, orig_ptr, in_use, symbols = read_block_symbols(br)
+    block_crc, orig_ptr, in_use, symbols, randomised = read_block_symbols(br)
     bwt_last = mtf_rle2_decode(symbols, in_use)
     if orig_ptr >= bwt_last.size:
         raise FormatError("bzip2: origPtr out of range")
     block = bwt_decode(bwt_last, orig_ptr)
+    if randomised:
+        from starch3_tpu.codec.randtable import derandomize
+
+        block = derandomize(block)
     data = rle1_decode(block.tobytes())
     if crc32_bytes(data) != block_crc:
         raise FormatError("bzip2: block CRC mismatch")

@@ -138,13 +138,18 @@ def write_block_header(
     n_groups: int,
     lengths: np.ndarray,
     selectors_mtf: np.ndarray,
+    randomised: bool = False,
 ) -> None:
     """Everything before a block's coded data: magics, used map,
     MTF+unary selectors, delta-coded tables.  Shared by the host tail
-    and the device-Huffman path (which appends device-packed words)."""
+    and the device-Huffman path (which appends device-packed words).
+
+    ``randomised`` exists only so tests can construct legacy-format
+    fixtures; the production encoder never sets it (matching the 1.0.x
+    compressor)."""
     bw.write(BLOCK_MAGIC, 48)
     bw.write(crc, 32)
-    bw.write(0, 1)  # randomised: never, matching the 1.0.x compressor
+    bw.write(1 if randomised else 0, 1)
     bw.write(orig_ptr, 24)
 
     # used-byte map

@@ -1079,26 +1079,46 @@ def _dispatch_chunk(block_datas, n_max, mesh, mode="ranks", pad_to=None):
     pallas_mtf = _use_pallas_mtf(mesh)
 
     if mode in ("fast", "fast_huff"):
+        from starch3_tpu.runtime import dense_pack4_native
+
         nsyms = np.ones(b_pad, dtype=np.int32)
         useds = []
+        # optimistic bits==4 prologue: one native pass per block does the
+        # dense remap AND the 2-symbols-per-byte upload pack (upload is
+        # the other half of the tunnel bill); falls back to the NumPy
+        # chain for >16-symbol alphabets or without the native lib
+        packed = np.zeros((b_pad, n_max // 2), dtype=np.uint8)
+        bits = 4
         for i, data in enumerate(block_datas):
             arr = np.frombuffer(data, dtype=np.uint8)
             if arr.size > n_max:
                 raise ValueError(f"block {i} exceeds n_max ({arr.size} > {n_max})")
-            used = np.bincount(arr, minlength=256) > 0
-            u2s = (np.cumsum(used) - 1).astype(np.uint8)
-            batch[i, : arr.size] = u2s[arr]
             lens[i] = arr.size
-            nsyms[i] = int(used.sum())
-            useds.append(used)
-        # key pack width: 4 bits buys 24 symbols of sort context (dense
-        # alphabet <= 16, the common case for transformed BED), 8 bits
-        # handles any byte content at 16 symbols of context
-        bits = 4 if nsyms[:b].max() <= 16 else 8
+            res = dense_pack4_native(arr, packed[i])
+            if res is None or res[0] > 16:
+                bits = 0  # decide below on the generic path
+                break
+            nsyms[i] = res[0]
+            useds.append(res[1])
         if bits == 4:
-            # 2 symbols per uploaded byte (the step unpacks); upload is
-            # the other half of the tunnel bill
-            batch = batch[:, 0::2] | (batch[:, 1::2] << 4)
+            batch = packed
+        else:
+            nsyms = np.ones(b_pad, dtype=np.int32)
+            useds = []
+            for i, data in enumerate(block_datas):
+                arr = np.frombuffer(data, dtype=np.uint8)
+                used = np.bincount(arr, minlength=256) > 0
+                u2s = (np.cumsum(used) - 1).astype(np.uint8)
+                batch[i, : arr.size] = u2s[arr]
+                lens[i] = arr.size
+                nsyms[i] = int(used.sum())
+                useds.append(used)
+            # key pack width: 4 bits buys 23 symbols of sort context
+            # (dense alphabet <= 16, the common case for transformed
+            # BED), 8 bits handles any byte content at 16 symbols
+            bits = 4 if nsyms[:b].max() <= 16 else 8
+            if bits == 4:
+                batch = batch[:, 0::2] | (batch[:, 1::2] << 4)
         arrays = _put_batch((batch, lens, nsyms), mesh)
         if mode == "fast_huff":
             small_d, syms_d = _jitted_fused_step_fast2(
@@ -1255,15 +1275,17 @@ def decode_streams(
             except ValueError as e:
                 raise FormatError(str(e)) from None
             if native is not None:
-                crc, ptr, in_use, symbols, next_pos = native
+                crc, ptr, in_use, symbols, next_pos, randomised = native
                 br._pos = next_pos
             else:
-                crc, ptr, in_use, symbols = read_block_symbols(br)
+                crc, ptr, in_use, symbols, randomised = read_block_symbols(br)
             n_exp = _rle2_decoded_len(np.asarray(symbols))
             if not 0 < n_exp <= max_block or ptr >= n_exp:
                 raise FormatError("bzip2: bad block geometry")
             flat.append((si, len(blocks)))
-            blocks.append((crc, ptr, in_use, np.asarray(symbols), n_exp))
+            blocks.append(
+                (crc, ptr, in_use, np.asarray(symbols), n_exp, randomised)
+            )
         per_stream.append((blocks, stored))
 
     by_bucket: dict[int, list[tuple[int, int]]] = {}
@@ -1318,7 +1340,7 @@ def _dispatch_decode_chunk(block_metas, n_max, mesh):
     ms = np.zeros(b_pad, dtype=np.int32)
     alphas = np.zeros((b_pad, 256), dtype=np.int32)
     ptrs = np.zeros(b_pad, dtype=np.int32)
-    for i, (_crc, ptr, in_use, symbols, _n_exp) in enumerate(block_metas):
+    for i, (_crc, ptr, in_use, symbols, _n_exp, _rand) in enumerate(block_metas):
         syms[i, : symbols.size] = symbols
         ms[i] = symbols.size
         seq = np.flatnonzero(in_use)
@@ -1346,4 +1368,9 @@ def _drain_decode(decoded, per_stream, item):
         n_exp = per_stream[si][0][bi][4]
         if int(ns[i]) != n_exp:
             raise FormatError("bzip2: inconsistent block expansion")
-        decoded[(si, bi)] = blocks[i, :n_exp].tobytes()
+        out_block = blocks[i, :n_exp]
+        if per_stream[si][0][bi][5]:  # legacy randomised block
+            from starch3_tpu.codec.randtable import derandomize
+
+            out_block = derandomize(out_block)
+        decoded[(si, bi)] = out_block.tobytes()

@@ -103,11 +103,16 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.s3_dense_pack4.restype = ctypes.c_int32
+        lib.s3_dense_pack4.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.s3_read_block_symbols.restype = ctypes.c_int64
         lib.s3_read_block_symbols.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
         ]
         lib.s3_bwt.restype = ctypes.c_int64
         lib.s3_bwt.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
@@ -492,12 +497,28 @@ def bz2_decode_block_native(stream: bytes, bit_offset: int, level: int):
         )
 
 
+def dense_pack4_native(arr: np.ndarray, out_row: np.ndarray):
+    """Dense-remap + nibble-pack one block into ``out_row`` (runtime.cpp
+    s3_dense_pack4).  Returns (n_in_use, used bool[256]) — the packed
+    row is only valid when n_in_use <= 16 — or None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert arr.dtype == np.uint8 and out_row.dtype == np.uint8
+    assert out_row.flags.c_contiguous and out_row.size >= (arr.size + 1) // 2
+    used = np.zeros(256, dtype=np.uint8)
+    n_in_use = lib.s3_dense_pack4(
+        arr.ctypes.data, arr.size, out_row.ctypes.data, used.ctypes.data
+    )
+    return int(n_in_use), used.astype(bool)
+
+
 def read_block_symbols_native(stream: bytes, bit_offset: int, level: int):
     """Huffman-decode one block's RLE2 symbol stream at a known bit
     offset (runtime.cpp s3_read_block_symbols): returns
-    (crc, orig_ptr, in_use bool[256], symbols int32[m], next_bit_pos)
-    or None when the native runtime is unavailable.  Raises ValueError
-    on corrupt streams."""
+    (crc, orig_ptr, in_use bool[256], symbols int32[m], next_bit_pos,
+    randomised) or None when the native runtime is unavailable.  Raises
+    ValueError on corrupt streams."""
     lib = get_lib()
     if lib is None:
         return None
@@ -509,10 +530,11 @@ def read_block_symbols_native(stream: bytes, bit_offset: int, level: int):
     crc = ctypes.c_uint32()
     ptr = ctypes.c_int32()
     bitpos = ctypes.c_int64()
+    rand = ctypes.c_uint8()
     m = lib.s3_read_block_symbols(
         arr.ctypes.data, arr.size, bit_offset, syms.ctypes.data, cap,
         in_use.ctypes.data, ctypes.byref(crc), ctypes.byref(ptr),
-        ctypes.byref(bitpos),
+        ctypes.byref(bitpos), ctypes.byref(rand),
     )
     if m < 0:
         raise ValueError("bzip2: corrupt stream")
@@ -522,6 +544,7 @@ def read_block_symbols_native(stream: bytes, bit_offset: int, level: int):
         in_use.astype(bool),
         syms[:m].astype(np.int32),
         int(bitpos.value),
+        bool(rand.value),
     )
 
 

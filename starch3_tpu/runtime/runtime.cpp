@@ -271,6 +271,29 @@ void s3_emit_decimals(uint8_t* out, const int64_t* offsets,
 // RLE1 encode of one block's worth of input (no segmentation): writes the
 // 4+count form.  Returns output length.  in: bytes[n]; out sized n + n/4.
 // ---------------------------------------------------------------------------
+// Dense-remap a block's bytes onto its used alphabet and nibble-pack
+// two symbols per output byte (the bits==4 device upload format,
+// parallel/pipeline._dispatch_chunk).  One pass replaces the NumPy
+// bincount/cumsum/fancy-index/pack chain (~4 passes) on the feed
+// thread.  Writes the 256-entry used map; returns n_in_use.  When
+// n_in_use > 16 the packed output is invalid and the caller takes the
+// bits==8 path instead.
+int32_t s3_dense_pack4(const uint8_t* in, int64_t n, uint8_t* out,
+                       uint8_t* used) {
+    uint8_t map[256];
+    for (int i = 0; i < 256; i++) used[i] = 0;
+    for (int64_t i = 0; i < n; i++) used[in[i]] = 1;
+    int32_t n_in_use = 0;
+    for (int i = 0; i < 256; i++)
+        if (used[i]) map[i] = (uint8_t)n_in_use++;
+    if (n_in_use > 16) return n_in_use;
+    const int64_t pairs = n / 2;
+    for (int64_t i = 0; i < pairs; i++)
+        out[i] = (uint8_t)(map[in[2 * i]] | (map[in[2 * i + 1]] << 4));
+    if (n & 1) out[pairs] = map[in[n - 1]];
+    return n_in_use;
+}
+
 int64_t s3_rle1_encode(const uint8_t* in, int64_t n, uint8_t* out) {
     int64_t o = 0;
     int64_t i = 0;
@@ -1053,6 +1076,71 @@ static void crc_init() {
 
 namespace {
 
+// Legacy block-randomisation table (bzip2 <= 0.9.0; a conforming
+// decoder must accept such blocks).  Format constant — the identical
+// 512 values every bzip2 decoder carries (behavioral spec:
+// decompress.c:545-575 via the bundled reference tarball).
+static const uint16_t kRNums[512] = {
+    619, 720, 127, 481, 931, 816, 813, 233, 566, 247, 985, 724,
+    205, 454, 863, 491, 741, 242, 949, 214, 733, 859, 335, 708,
+    621, 574, 73, 654, 730, 472, 419, 436, 278, 496, 867, 210,
+    399, 680, 480, 51, 878, 465, 811, 169, 869, 675, 611, 697,
+    867, 561, 862, 687, 507, 283, 482, 129, 807, 591, 733, 623,
+    150, 238, 59, 379, 684, 877, 625, 169, 643, 105, 170, 607,
+    520, 932, 727, 476, 693, 425, 174, 647, 73, 122, 335, 530,
+    442, 853, 695, 249, 445, 515, 909, 545, 703, 919, 874, 474,
+    882, 500, 594, 612, 641, 801, 220, 162, 819, 984, 589, 513,
+    495, 799, 161, 604, 958, 533, 221, 400, 386, 867, 600, 782,
+    382, 596, 414, 171, 516, 375, 682, 485, 911, 276, 98, 553,
+    163, 354, 666, 933, 424, 341, 533, 870, 227, 730, 475, 186,
+    263, 647, 537, 686, 600, 224, 469, 68, 770, 919, 190, 373,
+    294, 822, 808, 206, 184, 943, 795, 384, 383, 461, 404, 758,
+    839, 887, 715, 67, 618, 276, 204, 918, 873, 777, 604, 560,
+    951, 160, 578, 722, 79, 804, 96, 409, 713, 940, 652, 934,
+    970, 447, 318, 353, 859, 672, 112, 785, 645, 863, 803, 350,
+    139, 93, 354, 99, 820, 908, 609, 772, 154, 274, 580, 184,
+    79, 626, 630, 742, 653, 282, 762, 623, 680, 81, 927, 626,
+    789, 125, 411, 521, 938, 300, 821, 78, 343, 175, 128, 250,
+    170, 774, 972, 275, 999, 639, 495, 78, 352, 126, 857, 956,
+    358, 619, 580, 124, 737, 594, 701, 612, 669, 112, 134, 694,
+    363, 992, 809, 743, 168, 974, 944, 375, 748, 52, 600, 747,
+    642, 182, 862, 81, 344, 805, 988, 739, 511, 655, 814, 334,
+    249, 515, 897, 955, 664, 981, 649, 113, 974, 459, 893, 228,
+    433, 837, 553, 268, 926, 240, 102, 654, 459, 51, 686, 754,
+    806, 760, 493, 403, 415, 394, 687, 700, 946, 670, 656, 610,
+    738, 392, 760, 799, 887, 653, 978, 321, 576, 617, 626, 502,
+    894, 679, 243, 440, 680, 879, 194, 572, 640, 724, 926, 56,
+    204, 700, 707, 151, 457, 449, 797, 195, 791, 558, 945, 679,
+    297, 59, 87, 824, 713, 663, 412, 693, 342, 606, 134, 108,
+    571, 364, 631, 212, 174, 643, 304, 329, 343, 97, 430, 751,
+    497, 314, 983, 374, 822, 928, 140, 206, 73, 263, 980, 736,
+    876, 478, 430, 305, 170, 514, 364, 692, 829, 82, 855, 953,
+    676, 246, 369, 970, 294, 750, 807, 827, 150, 790, 288, 923,
+    804, 378, 215, 828, 592, 281, 565, 555, 710, 82, 896, 831,
+    547, 261, 524, 462, 293, 465, 502, 56, 661, 821, 976, 991,
+    658, 869, 905, 758, 745, 193, 768, 550, 608, 933, 378, 286,
+    215, 979, 792, 961, 61, 688, 793, 644, 986, 403, 106, 366,
+    905, 644, 372, 567, 466, 434, 645, 210, 389, 550, 919, 135,
+    780, 773, 635, 389, 707, 100, 626, 958, 165, 504, 920, 176,
+    193, 713, 857, 265, 203, 50, 668, 108, 645, 990, 626, 197,
+    510, 357, 358, 850, 858, 364, 936, 638,
+};
+
+// De-randomise the post-inverse-BWT bytes in place: a counter reloads
+// from the table (cycling) at zero; the byte where its post-decrement
+// value is 1 gets bit 0 flipped.
+static void derandomize(uint8_t* p, int64_t n) {
+    int32_t rNToGo = 0, rTPos = 0;
+    for (int64_t i = 0; i < n; i++) {
+        if (rNToGo == 0) {
+            rNToGo = kRNums[rTPos];
+            rTPos = (rTPos + 1) & 511;
+        }
+        rNToGo--;
+        p[i] ^= (rNToGo == 1) ? 1 : 0;
+    }
+}
+
 // Everything a block's coded-data loop needs, parsed from the bit
 // stream once (headers, symbol map, selectors, canonical tables, and
 // the 10-bit fast-decode LUT).  Shared by the full decoder (dec_block)
@@ -1061,6 +1149,7 @@ namespace {
 struct BlockHead {
     uint32_t block_crc;
     uint32_t orig_ptr;
+    bool randomised;
     uint8_t seq_to_byte[256];
     int n_in_use, alpha, n_groups, n_sel;
     uint8_t* sels;  // thread-local buffer owned by parse_block_head
@@ -1073,7 +1162,7 @@ struct BlockHead {
 // first coded symbol.  Returns 0, or -1 on malformed input.
 static int parse_block_head(BitReader& br, BlockHead& H) {
     H.block_crc = br.read(32);
-    if (br.bit()) return -1;  // randomised unsupported (1.0.x never)
+    H.randomised = br.bit() != 0;  // legacy blocks: de-randomised post-iBWT
     H.orig_ptr = br.read(24);
     // symbol map
     uint16_t gmask = (uint16_t)br.read(16);
@@ -1307,6 +1396,7 @@ static int64_t dec_block(BitReader& br, int64_t max_block, uint8_t* out,
                 w = (uint32_t)lf[w >> 8];
             }
         }
+        if (H.randomised) derandomize(pre, nblock);
         // RLE1 decode + CRC
         uint32_t crc = 0xFFFFFFFFu;
         int64_t i2 = 0;
@@ -1399,7 +1489,7 @@ int64_t s3_read_block_symbols(const uint8_t* in, int64_t in_len,
                               int64_t bit_offset, uint16_t* syms_out,
                               int64_t syms_cap, uint8_t* in_use_out,
                               uint32_t* crc_out, int32_t* ptr_out,
-                              int64_t* bitpos_out) {
+                              int64_t* bitpos_out, uint8_t* rand_out) {
     BitReader br{in, in_len};
     br.pos = bit_offset;
     if (br.read48() != 0x314159265359ULL || !br.ok) return -1;
@@ -1409,6 +1499,7 @@ int64_t s3_read_block_symbols(const uint8_t* in, int64_t in_len,
     for (int i = 0; i < H.n_in_use; i++) in_use_out[H.seq_to_byte[i]] = 1;
     *crc_out = H.block_crc;
     *ptr_out = (int32_t)H.orig_ptr;
+    *rand_out = H.randomised ? 1 : 0;
     const int64_t total_bits = br.nbytes * 8;
     const int eob = H.alpha - 1;
     int64_t m = 0;
