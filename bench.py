@@ -366,11 +366,13 @@ def main() -> int:
                     "regressions": regressions,
                     "tunnel_mb_s": {"upload": 76, "download": 45},
                     "scale_1gb": {
-                        "encode_mb_s": 48.7,
-                        "decode_mb_s": 67.5,
-                        "peak_rss_mb": 620,
+                        "encode_mb_s": 55.6,
+                        "decode_mb_s": 103.8,
+                        "peak_rss_mb": 471,
+                        "stdin_pipe_encode_mb_s": 52.6,
+                        "stdin_pipe_peak_rss_mb": 470,
                         "source": "tests/test_archive.py TestGigabyteScale "
-                        "(slow; round-2 measurement)",
+                        "(slow; this round, incl the stdin-pipe leg)",
                     },
                 },
             }
