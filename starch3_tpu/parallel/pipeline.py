@@ -2,20 +2,27 @@
 host bit assembly, with spare CPU cores stealing blocks.
 
 Per-stream flow (the TPU rebuild of the reference's 4-thread pipeline,
-SURVEY.md §2 parallelism table), production ("fast") mode:
+SURVEY.md §2 parallelism table), production ("fast") mode for the
+<=16-symbol alphabet transformed BED always has:
 
   host:    RLE1 segmentation into <= 900 kB blocks (sequential by
-           nature, codec/rle1.py) + per-block dense symbol remap,
-           nibble-packed for upload
-  device:  one-sort BWT (packed prefix keys, ops/bwt_fast.py) -> Pallas
-           MTF (ops/mtf_pallas.py) -> scatter-free RLE2
-           (ops/rle2_jax.py), fused into one dispatch per batch, batch
-           axis sharded over the chip mesh; the download is the
-           5-bit-packed RLE2 symbol stream + histogram
-  host:    native Huffman refinement + bit emission per block
-           (runtime.cpp s3_encode_tail, GIL released) and stream
-           concatenation in block order (deterministic: partitioning is
-           input-derived, never topology-derived)
+           nature, codec/rle1.py) + one native pass per block doing the
+           dense remap AND the 2-symbols-per-byte upload pack
+           (runtime.cpp s3_dense_pack4)
+  device:  3-operand one-sort BWT (23 symbols of packed prefix context,
+           payload in key3's low nibble, ops/bwt_fast.bwt_sort_fast3)
+           -> narrow-alphabet Pallas MTF (ops/mtf_narrow_pallas.py),
+           one dispatch per batch, batch axis shard_map'd over the chip
+           mesh; the download is the nibble-packed MTF ranks (4 bits
+           per input byte)
+  host:    native RLE2 + Huffman refinement + bit emission per block
+           (runtime.cpp s3_rle2_from_ranks + s3_encode_tail, GIL
+           released, tail pool) and stream concatenation in block order
+           (deterministic: partitioning is input-derived, never
+           topology-derived)
+
+Blocks with >16 distinct bytes take the bits==8 variant (width-256
+Pallas MTF + device RLE2, 5-bit-packed symbol download).
 
 With ``device_huffman`` the Huffman group costing (matmuls) and coded-
 data bit packing also run on device (4 cost/select rounds interleaved
@@ -629,10 +636,12 @@ import threading
 
 # scheduler knobs (see encode_streams_feed): blocks held back for the
 # stealer cores per stealer at the queue tail, and how many device
-# batches stay in flight (swept on the bench corpus: reserve 1 / depth
-# 3 / batch 3 / 4 MB parse chunks was the consistent winner)
+# batches stay in flight (re-swept this round with the 3x-faster device
+# step: depth 2 / reserve 1 / batch 3 wins — the shallower pipeline
+# shrinks the end-of-corpus straggler now that batches turn around
+# faster; 134 vs 120 MB/s at depth 3 on the bench corpus)
 _TAIL_RESERVE_PER_STEALER = 1
-_PIPELINE_DEPTH = 3
+_PIPELINE_DEPTH = 2
 
 
 class _BlockQueue:
