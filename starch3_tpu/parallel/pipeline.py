@@ -931,6 +931,8 @@ def _drain_fast_huff(results, per_stream_blocks, chunk, handles, aux, n_max):
         alphas[i] = alpha
     masks[b:, 0] = True  # padding rows: keep argmin well-defined
 
+    from starch3_tpu.runtime import refine_lengths_batch_native
+
     cost_select = _jitted_cost_select()
     sel_d = None
     for _ in range(huffman.N_ITERS):
@@ -938,12 +940,15 @@ def _drain_fast_huff(results, per_stream_blocks, chunk, handles, aux, n_max):
             hist_d, jnp.asarray(lens), jnp.asarray(masks)
         )
         rfreq = np.asarray(rfreq_d)
-        for i in range(b):
-            alpha = int(alphas[i])
-            for t in range(int(n_groups[i])):
-                lens[i, t, :alpha] = huffman.make_code_lengths(
-                    rfreq[i, t, :alpha].astype(np.int64), alpha
-                )
+        # one native call per iteration covers every (block, table) heap
+        rfreq64 = np.ascontiguousarray(rfreq[:b], dtype=np.int64)
+        if not refine_lengths_batch_native(rfreq64, n_groups[:b], alphas[:b], lens):
+            for i in range(b):
+                alpha = int(alphas[i])
+                for t in range(int(n_groups[i])):
+                    lens[i, t, :alpha] = huffman.make_code_lengths(
+                        rfreq[i, t, :alpha].astype(np.int64), alpha
+                    )
 
     # canonical codes -> packed (code << 5) | len LUT per block
     luts = np.zeros((b_pad, 6 * ALPHA_MAX), dtype=np.int32)
@@ -972,14 +977,18 @@ def _drain_fast_huff(results, per_stream_blocks, chunk, handles, aux, n_max):
         blk = per_stream_blocks[si][bi]
         n_sel = (m + GROUP_SIZE - 1) // GROUP_SIZE
         selectors = sel[i, :n_sel].astype(np.int64)
-        # selector MTF (host; 6-entry list)
-        pos = list(range(int(n_groups[i])))
-        sel_mtf = np.empty(n_sel, dtype=np.int64)
-        for k, s in enumerate(selectors.tolist()):
-            j = pos.index(s)
-            sel_mtf[k] = j
-            pos.pop(j)
-            pos.insert(0, s)
+        # selector MTF (6-entry list; native walk, Python fallback)
+        from starch3_tpu.runtime import selector_mtf_native
+
+        sel_mtf = selector_mtf_native(selectors)
+        if sel_mtf is None:
+            pos = list(range(int(n_groups[i])))
+            sel_mtf = np.empty(n_sel, dtype=np.int64)
+            for k, s in enumerate(selectors.tolist()):
+                j = pos.index(s)
+                sel_mtf[k] = j
+                pos.pop(j)
+                pos.insert(0, s)
         frag = BitWriter()
         alpha = int(alphas[i])
         write_block_header(

@@ -103,6 +103,15 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.s3_refine_lengths_batch.restype = ctypes.c_int32
+        lib.s3_refine_lengths_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+        ]
+        lib.s3_selector_mtf.restype = None
+        lib.s3_selector_mtf.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
         lib.s3_dense_pack4.restype = ctypes.c_int32
         lib.s3_dense_pack4.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -495,6 +504,39 @@ def bz2_decode_block_native(stream: bytes, bit_offset: int, level: int):
         raise ValueError(
             "bzip2: corrupt stream" if n != -3 else "bzip2: CRC mismatch"
         )
+
+
+def refine_lengths_batch_native(
+    rfreq64: np.ndarray, n_groups: np.ndarray, alphas: np.ndarray,
+    lens_out: np.ndarray, max_len: int = 17,
+) -> bool:
+    """One call builds Huffman lengths for every active (block, table)
+    pair (runtime.cpp s3_refine_lengths_batch).  ``rfreq64`` int64
+    [b,6,258] C-contiguous; ``lens_out`` int32[b,6,258] updated in
+    place at [:alpha] of active rows.  False without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    assert rfreq64.dtype == np.int64 and rfreq64.flags.c_contiguous
+    assert lens_out.dtype == np.int32 and lens_out.flags.c_contiguous
+    ng = np.ascontiguousarray(n_groups, dtype=np.int64)
+    al = np.ascontiguousarray(alphas, dtype=np.int64)
+    rc = lib.s3_refine_lengths_batch(
+        rfreq64.ctypes.data, ng.ctypes.data, al.ctypes.data,
+        rfreq64.shape[0], max_len, lens_out.ctypes.data,
+    )
+    return rc == 0
+
+
+def selector_mtf_native(selectors: np.ndarray):
+    """MTF-code a selector run (runtime.cpp s3_selector_mtf), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    sels = np.ascontiguousarray(selectors, dtype=np.int32)
+    out = np.empty(sels.size, dtype=np.uint8)
+    lib.s3_selector_mtf(sels.ctypes.data, sels.size, out.ctypes.data)
+    return out
 
 
 def dense_pack4_native(arr: np.ndarray, out_row: np.ndarray):

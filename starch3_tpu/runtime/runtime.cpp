@@ -294,6 +294,41 @@ int32_t s3_dense_pack4(const uint8_t* in, int64_t n, uint8_t* out,
     return n_in_use;
 }
 
+// Batched Huffman length construction for the device-Huffman drain
+// (parallel/pipeline._drain_fast_huff): one call covers every
+// (block, table) pair of a refinement iteration — the per-pair ctypes
+// call overhead was the drain's Amdahl term in the chips-outnumber-
+// cores regime.  rfreq int64[b*6*258]; lens int32[b*6*258] (only
+// [:alpha] of each active row is written).  Returns 0, or the first
+// failing s3_make_code_lengths rc.
+int32_t s3_refine_lengths_batch(const int64_t* rfreq, const int64_t* n_groups,
+                                const int64_t* alphas, int32_t b,
+                                int32_t max_len, int32_t* lens) {
+    for (int32_t i = 0; i < b; i++) {
+        for (int32_t t = 0; t < (int32_t)n_groups[i]; t++) {
+            int rc = s3_make_code_lengths(
+                rfreq + ((int64_t)i * 6 + t) * 258, (int32_t)alphas[i],
+                max_len, lens + ((int64_t)i * 6 + t) * 258);
+            if (rc != 0) return rc;
+        }
+    }
+    return 0;
+}
+
+// Selector move-to-front coding (block header emission): the 6-entry
+// list walk the Python drain looped per selector.
+void s3_selector_mtf(const int32_t* sels, int64_t n, uint8_t* out) {
+    uint8_t pos[6] = {0, 1, 2, 3, 4, 5};
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t s = (uint8_t)sels[i];
+        int j = 0;
+        while (pos[j] != s) j++;
+        out[i] = (uint8_t)j;
+        for (; j > 0; j--) pos[j] = pos[j - 1];
+        pos[0] = s;
+    }
+}
+
 int64_t s3_rle1_encode(const uint8_t* in, int64_t n, uint8_t* out) {
     int64_t o = 0;
     int64_t i = 0;
