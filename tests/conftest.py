@@ -71,3 +71,17 @@ def make_bed_text(
             else:
                 lines.append(b"%s\t%d\t%d" % (chrom.encode(), s, e))
     return b"\n".join(lines) + b"\n"
+
+
+def skip_if_asan() -> None:
+    """Skip a test that triggers XLA compilation when ASan is preloaded:
+    the preloaded allocator aborts inside XLA's own allocation paths,
+    independent of this repo's native code.  The CI sanitizer lane exists
+    to cover the native tier (runtime.cpp), which these tests exercise
+    through non-JAX paths elsewhere."""
+    import os
+
+    import pytest
+
+    if "libasan" in os.environ.get("LD_PRELOAD", ""):
+        pytest.skip("jax compile is incompatible with ASan preload")

@@ -193,6 +193,9 @@ class TestStreamingJaxQueue:
         whole-file read (round-1 VERDICT missing #5): chromosomes flush
         through the shared device queue in bounded windows, and the
         archive is byte-identical to the bytes API either way."""
+        from tests.conftest import skip_if_asan
+
+        skip_if_asan()
         import io
 
         from starch3_tpu.api import compress_bed_bytes, compress_bed_file

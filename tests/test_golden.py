@@ -166,6 +166,9 @@ class TestRandomisedBlocks:
             assert bz2_decompress_native(stream, len(data)) == data
 
     def test_device_decode_path_accepts(self, rng):
+        from tests.conftest import skip_if_asan
+
+        skip_if_asan()
         from starch3_tpu.parallel.pipeline import decode_streams
 
         data = self._payloads(rng)[1]
