@@ -163,3 +163,42 @@ def test_all_paths_soak(rng, tmp_path):
         out = io.BytesIO()
         decompress_starch_file(str(ap), out)
         assert out.getvalue() == bed
+
+
+def test_fuzz_native_symbol_decoder_never_crashes(rng):
+    """runtime.cpp s3_read_block_symbols on corrupted streams: every
+    bit-flip of a valid stream must either decode or raise cleanly —
+    never crash, hang, or read out of bounds (the entry feeds
+    decode_streams with attacker-controllable archive bytes)."""
+    import bz2
+
+    import pytest
+
+    from starch3_tpu.runtime import get_lib, read_block_symbols_native
+
+    if get_lib() is None:
+        pytest.skip("native runtime unavailable")
+    from tests.conftest import make_bed_text
+
+    data = bytes(make_bed_text(rng, n=400))
+    stream = bz2.compress(data, 9)
+
+    # the valid stream parses
+    res = read_block_symbols_native(stream, 32, 9)
+    assert res is not None and res[3].size > 0
+
+    flips = rng.integers(4, len(stream), 400)  # past the BZh9 header
+    for pos in flips.tolist():
+        bad = bytearray(stream)
+        bad[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            read_block_symbols_native(bytes(bad), 32, 9)
+        except ValueError:
+            pass  # clean rejection
+
+    # truncations at every byte boundary of the first 200
+    for cut in range(4, min(len(stream), 200)):
+        try:
+            read_block_symbols_native(stream[:cut], 32, 9)
+        except ValueError:
+            pass
