@@ -17,6 +17,7 @@ test_bitexact.py, test_fuzz.py and more; all clean under ASan+UBSan):
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -31,6 +32,18 @@ _lib = None
 _tried = False
 
 
+def _build_stamp() -> str:
+    # Content hash of the source + the flags that shaped the binary.  An
+    # mtime check alone cannot spot a stale .so restored by a fresh git
+    # checkout (source and binary land with identical mtimes).
+    h = hashlib.sha256()
+    with open(_SRC, "rb") as f:
+        h.update(f.read())
+    h.update(os.environ.get("STARCH3_TPU_NO_SIMD", "").encode())
+    h.update(os.environ.get("STARCH3_TPU_CFLAGS", "").encode())
+    return h.hexdigest()
+
+
 def _build() -> bool:
     # STARCH3_TPU_NO_SIMD forces the scalar paths (CI coverage for the
     # non-SSSE3 fallbacks); STARCH3_TPU_CFLAGS appends arbitrary flags
@@ -43,9 +56,24 @@ def _build() -> bool:
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
     except Exception:
         return False
+    try:
+        with open(_SO + ".stamp", "w") as f:
+            f.write(_build_stamp())
+    except OSError:
+        pass
+    return True
+
+
+def _is_stale() -> bool:
+    if not os.path.exists(_SO):
+        return True
+    try:
+        with open(_SO + ".stamp") as f:
+            return f.read().strip() != _build_stamp()
+    except OSError:
+        return True
 
 
 def get_lib():
@@ -59,7 +87,7 @@ def get_lib():
         _tried = True
         if os.environ.get("STARCH3_TPU_NO_NATIVE"):
             return None
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if _is_stale():
             if not _build():
                 return None
         try:
