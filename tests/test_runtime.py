@@ -268,3 +268,26 @@ class TestChunkedParseTransform:
         for w in (2, 4, 7):
             got = _parse_transform_chunked(bed, w)
             assert [g[:5] for g in got] == [g[:5] for g in ref]
+
+
+class TestBuildStaleness:
+    def test_stamp_tracks_source_and_flags(self, tmp_path, monkeypatch):
+        # A stale committed .so restored by git checkout shares its mtime
+        # with the source, so staleness must be content-based (the stamp),
+        # never mtime-based.  Simulate: stamp matches -> fresh; source
+        # edited or flags changed -> stale; missing stamp -> stale.
+        src = tmp_path / "runtime.cpp"
+        so = tmp_path / "_runtime.so"
+        src.write_bytes(b"int x;")
+        so.write_bytes(b"\x7fELF-stale")
+        monkeypatch.setattr(runtime, "_SRC", str(src))
+        monkeypatch.setattr(runtime, "_SO", str(so))
+        assert runtime._is_stale()  # no stamp yet
+        (tmp_path / "_runtime.so.stamp").write_text(runtime._build_stamp())
+        assert not runtime._is_stale()
+        src.write_bytes(b"int y;")
+        assert runtime._is_stale()
+        src.write_bytes(b"int x;")
+        assert not runtime._is_stale()
+        monkeypatch.setenv("STARCH3_TPU_NO_SIMD", "1")
+        assert runtime._is_stale()
