@@ -5,12 +5,14 @@ source); every entry point has a NumPy fallback so the package works
 without a toolchain.  See runtime.cpp for what lives here and why.
 
 Sanitizer run (the native tier is exercised by tests/test_runtime.py,
-test_bitexact.py, test_fuzz.py and more; all clean under ASan+UBSan):
+test_bitexact.py, test_fuzz.py and more; all clean under ASan+UBSan).
+Inject the flags through STARCH3_TPU_CFLAGS — the staleness stamp hashes
+that variable, so the lazy builder rebuilds with (and later, without)
+the sanitizers automatically; a hand-run g++ would leave a stamp-less
+.so that the next import discards:
 
-    g++ -O1 -g -fsanitize=address,undefined -fno-sanitize-recover=undefined \
-        -shared -fPIC -std=c++17 -o starch3_tpu/runtime/_runtime.so \
-        starch3_tpu/runtime/runtime.cpp
-    LD_PRELOAD=$(g++ -print-file-name=libasan.so) ASAN_OPTIONS=detect_leaks=0 \
+    STARCH3_TPU_CFLAGS="-O1 -g -fsanitize=address,undefined -fno-sanitize-recover=undefined" \
+        LD_PRELOAD=$(g++ -print-file-name=libasan.so) ASAN_OPTIONS=detect_leaks=0 \
         python -m pytest tests/ -q
 """
 
