@@ -9,6 +9,7 @@ therefore batchable across devices (parallel/pipeline.py).
 
 from __future__ import annotations
 
+import dataclasses
 import zlib
 
 from starch3_tpu.bed.parser import ChromBlock, parse_bed
@@ -17,6 +18,54 @@ from starch3_tpu.config import CompressionMethod, EncodeConfig
 from starch3_tpu.errors import BedParseError, FormatError, UnsupportedCodecError
 from starch3_tpu.format.archive import StarchReader, StarchWriter
 from starch3_tpu.transform.delta import transform_chrom, untransform_chrom
+
+
+@dataclasses.dataclass(frozen=True)
+class _MemberStream:
+    """A compressed stream made of self-contained members (gzip tier);
+    duck-compatible with codec.encoder.EncodedStream for assembly."""
+
+    data: bytes
+    block_bit_offsets: tuple[int, ...]
+
+
+def _gzip_members(
+    text: bytes, config: EncodeConfig, workers: int | None = None
+) -> tuple[bytes, list[int]]:
+    """Gzip a transformed stream as concatenated independent members.
+
+    The reference advertises gzip but exits ENOSYS (starch3api.hpp:777-779);
+    here the tier is implemented for real, with the same design as the
+    bzip2 tier: streams larger than ``gzip_segment_bytes`` split into
+    independent members (RFC 1952 multi-member — any standard gzip
+    decodes the concatenation), member boundaries land in the metadata
+    block index as bit offsets (always byte-aligned, multiples of 8),
+    members compress in parallel (zlib releases the GIL) and decode
+    member-parallel.  Streams at or under one segment stay a single
+    member with an empty index — byte-identical to the pre-index format
+    (the golden_gzip fixture freezes this).
+    """
+    seg = config.gzip_segment_bytes
+
+    def one(part: bytes) -> bytes:
+        co = zlib.compressobj(config.gzip_level, zlib.DEFLATED, 31)
+        return co.compress(part) + co.flush()
+
+    if seg <= 0 or len(text) <= seg:
+        return one(text), []
+    parts = [text[i : i + seg] for i in range(0, len(text), seg)]
+    if workers and workers > 1 and len(parts) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(workers, len(parts))) as ex:
+            members = list(ex.map(one, parts))
+    else:
+        members = [one(p) for p in parts]
+    offsets, pos = [], 0
+    for m in members:
+        offsets.append(pos * 8)
+        pos += len(m)
+    return b"".join(members), offsets
 
 
 def _compress_stream(text: bytes, config: EncodeConfig) -> bytes:
@@ -29,10 +78,7 @@ def _compress_stream(text: bytes, config: EncodeConfig) -> bytes:
 
         return bz2_compress(text, config.block_size_100k)
     if config.method is CompressionMethod.GZIP:
-        # the reference advertises gzip but exits ENOSYS
-        # (starch3api.hpp:777-779); implemented here via zlib
-        co = zlib.compressobj(config.gzip_level, zlib.DEFLATED, 31)
-        return co.compress(text) + co.flush()
+        return _gzip_members(text, config)[0]
     raise UnsupportedCodecError(f"unknown codec {config.method}")
 
 
@@ -58,6 +104,8 @@ def _compress_stream_ex(
 
             enc = bz2_compress_ex(text, config.block_size_100k, workers=workers)
         return enc.data, list(enc.block_bit_offsets)
+    if config.method is CompressionMethod.GZIP:
+        return _gzip_members(text, config, workers)
     return _compress_stream(text, config), []
 
 
@@ -81,11 +129,33 @@ def _decompress_stream(data: bytes, compression_format: str) -> bytes:
         except (OSError, EOFError, ValueError) as e:
             raise FormatError(f"bzip2: {e}") from e
     if compression_format == "gzip":
+        # streams may be a concatenation of independent members
+        # (_gzip_members); walk them all, like gzip(1) does
+        out = []
         try:
-            return zlib.decompress(data, 31)
+            while data:
+                do = zlib.decompressobj(31)
+                out.append(do.decompress(data))
+                out.append(do.flush())
+                if not do.eof:
+                    raise FormatError("gzip: truncated member")
+                data = do.unused_data
         except zlib.error as e:
             raise FormatError(f"gzip: {e}") from e
+        return b"".join(out)
     raise UnsupportedCodecError(f"unknown codec {compression_format!r}")
+
+
+def _gzip_member_decode(member: bytes) -> bytes:
+    """Decode exactly one gzip member (a metadata-index slice)."""
+    do = zlib.decompressobj(31)
+    try:
+        out = do.decompress(member) + do.flush()
+    except zlib.error as e:
+        raise FormatError(f"gzip member: {e}") from e
+    if not do.eof or do.unused_data:
+        raise FormatError("gzip member: boundary does not match index")
+    return out
 
 
 def _parse_transform_chunked(data: bytes, workers: int):
@@ -362,8 +432,13 @@ def compress_bed_bytes(
                     workers=os.cpu_count(),
                 )
             else:
+                # gzip tier (or empty input): members carry their own
+                # boundaries into the metadata block index
                 streams = [
-                    _compress_stream(tf.text, config) for tf in transformed
+                    _MemberStream(*_gzip_members(tf.text, config))
+                    if config.method is CompressionMethod.GZIP
+                    else _compress_stream(tf.text, config)
+                    for tf in transformed
                 ]
     with timer.stage("assemble"):
         for tf, enc in zip(transformed, streams):
@@ -704,23 +779,50 @@ def decompress_starch_bytes(
                 if use_blocks and len(offs) > 1 and len(stream) >= 4:
                     level = stream[3] - 0x30
                     if 1 <= level <= 9:
-                        sf = [
-                            ex.submit(bz2_decode_block_native, stream, off, level)
-                            for off in offs
-                        ]
+                        sf = (
+                            "bz2",
+                            [
+                                ex.submit(
+                                    bz2_decode_block_native, stream, off, level
+                                )
+                                for off in offs
+                            ],
+                        )
+                elif (
+                    fmt == "gzip"
+                    and len(offs) > 1
+                    and all(o % 8 == 0 for o in offs)
+                    and offs[0] == 0
+                ):
+                    # member-parallel gzip: the index records byte-aligned
+                    # member boundaries (_gzip_members); each slice is a
+                    # self-contained member with its own CRC32
+                    bounds = [o // 8 for o in offs] + [len(stream)]
+                    sf = (
+                        "gz",
+                        [
+                            ex.submit(
+                                _gzip_member_decode,
+                                stream[bounds[k] : bounds[k + 1]],
+                            )
+                            for k in range(len(offs))
+                        ],
+                    )
                 block_futs.append(sf)
             finish_futs = []
             for si, (meta, stream) in enumerate(items):
                 sf = block_futs[si]
-                if sf is not None:
+                if sf is not None and sf[0] == "bz2":
                     try:
-                        results = [f.result() for f in sf]
+                        results = [f.result() for f in sf[1]]
                     except ValueError as e:
                         raise FormatError(f"{meta.chromosome}: {e}") from e
                     _verify_stream_tail(
                         meta.chromosome, stream, [r[1] for r in results]
                     )
                     text = b"".join(r[0] for r in results)
+                elif sf is not None:
+                    text = b"".join(f.result() for f in sf[1])
                 else:
                     text = None
                 finish_futs.append(

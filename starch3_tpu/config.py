@@ -53,6 +53,14 @@ class EncodeConfig:
     #: gzip level used when method == GZIP (the reference aborts on gzip;
     #: we implement it, level 6 mirrors common zlib defaults)
     gzip_level: int = 6
+    #: transformed-text bytes per gzip member.  A stream larger than this
+    #: is emitted as concatenated independent gzip members (valid
+    #: multi-member gzip per RFC 1952 — any standard tool decodes it),
+    #: with each member's byte boundary recorded in the metadata block
+    #: index, giving the gzip tier the same member-parallel encode,
+    #: block-parallel decode, and block-granular resume properties as the
+    #: bzip2 tier.  <= 0 disables segmentation (one member per stream)
+    gzip_segment_bytes: int = 4 << 20
     #: run the heavy per-block codec stages on the JAX backend when True,
     #: on the NumPy oracle when False
     use_jax: bool = False

@@ -87,6 +87,76 @@ class TestEndToEnd:
         bed = make_bed_text(rng, n=2000)
         assert compress_bed_bytes(bed) == compress_bed_bytes(bed)
 
+    def test_gzip_multi_member_streams(self, rng):
+        """Large gzip streams are written as concatenated independent
+        members with the boundaries in the metadata block index
+        (format/SPEC.md): standard tools still decode them, and the
+        member-parallel decode path reproduces the input."""
+        import gzip as gzip_mod
+
+        bed = make_bed_text(rng, n=4000, chroms=("chr1", "chr2"))
+        cfg = EncodeConfig(
+            method=CompressionMethod.GZIP, gzip_segment_bytes=1024
+        )
+        archive = compress_bed_bytes(bed, cfg)
+        reader = StarchReader.from_bytes(archive)
+        for meta, stream in reader.iter_streams():
+            offs = meta.block_bit_offsets
+            assert len(offs) > 1  # genuinely segmented
+            assert offs[0] == 0 and all(o % 8 == 0 for o in offs)
+            # an independent consumer (stdlib gzip) decodes the whole
+            # multi-member concatenation transparently
+            assert len(gzip_mod.decompress(stream)) == meta.uncompressed_size
+            # each indexed slice is a self-contained member
+            bounds = [o // 8 for o in offs] + [len(stream)]
+            parts = [
+                gzip_mod.decompress(stream[bounds[k] : bounds[k + 1]])
+                for k in range(len(offs))
+            ]
+            assert sum(len(p) for p in parts) == meta.uncompressed_size
+        # serial (workers=1) and member-parallel (workers=4) decodes agree
+        assert decompress_starch_bytes(archive, workers=1) == bed
+        assert decompress_starch_bytes(archive, workers=4) == bed
+
+    def test_gzip_small_stream_stays_single_member(self, rng):
+        """At or under one segment the stream is one member with no
+        index — byte-compatible with pre-index archives (the
+        golden_gzip fixture freezes the whole archive)."""
+        bed = make_bed_text(rng, n=50)
+        archive = compress_bed_bytes(
+            bed, EncodeConfig(method=CompressionMethod.GZIP)
+        )
+        meta = StarchReader.from_bytes(archive).metadata.streams[0]
+        assert meta.block_bit_offsets == []
+
+    def test_gzip_random_access_on_segmented_archive(self, rng):
+        from starch3_tpu.api import extract_chromosome
+
+        bed = make_bed_text(rng, n=3000, chroms=("chr1", "chr2", "chr3"))
+        cfg = EncodeConfig(
+            method=CompressionMethod.GZIP, gzip_segment_bytes=2048
+        )
+        archive = compress_bed_bytes(bed, cfg)
+        joined = b"".join(
+            extract_chromosome(archive, c) for c in ("chr1", "chr2", "chr3")
+        )
+        assert joined == bed
+
+    def test_gzip_streaming_encode_identical(self, tmp_path, rng):
+        import io
+
+        from starch3_tpu.api import compress_bed_file
+
+        bed = make_bed_text(rng, n=4000, chroms=("chr1", "chr2"))
+        cfg = EncodeConfig(
+            method=CompressionMethod.GZIP, gzip_segment_bytes=1024
+        )
+        p = tmp_path / "in.bed"
+        p.write_bytes(bed)
+        out = io.BytesIO()
+        compress_bed_file(str(p), out, cfg)
+        assert out.getvalue() == compress_bed_bytes(bed, cfg)
+
     def test_note_in_metadata(self, rng):
         bed = make_bed_text(rng, n=100)
         archive = compress_bed_bytes(bed, EncodeConfig(note="my note"))
