@@ -59,6 +59,10 @@ USAGE = f"""\
   --bzip2 | -b            Use bzip2 backend (default)
   --gzip | -g             Use gzip backend
   --gzip-level=N          gzip compression level 1..9 (default 6)
+  --gzip-segment=BYTES    bytes of transformed text per gzip member;
+                          larger streams split into independent members
+                          indexed in metadata (default 4194304; 0 = one
+                          member per stream)
   --output=FILE | -o      Write to FILE instead of stdout
   --jax                   Use the JAX/TPU compute path
   --help | -h             Show this usage message
@@ -91,6 +95,7 @@ def _parse_args(argv: list[str]) -> dict:
         "host_id": None,
         "manifest_dir": None,
         "gzip_level": None,
+        "gzip_segment": None,
     }
     i = 0
     while i < len(argv):
@@ -126,6 +131,11 @@ def _parse_args(argv: list[str]) -> dict:
             if not 1 <= lv <= 9:
                 raise OptionError("--gzip-level must be 1..9")
             opts["gzip_level"] = lv
+        elif a.startswith("--gzip-segment="):
+            seg = int(a[len("--gzip-segment=") :])
+            if seg < 0:
+                raise OptionError("--gzip-segment must be >= 0")
+            opts["gzip_segment"] = seg
         elif a.startswith("--coordinator="):
             opts["coordinator"] = a[len("--coordinator=") :]
         elif a.startswith("--num-hosts="):
@@ -229,6 +239,11 @@ def main(argv: list[str] | None = None) -> int:
                 method=opts["method"] or CompressionMethod.default(),
                 use_jax=opts["jax"],
                 gzip_level=opts["gzip_level"] or 6,
+                **(
+                    {"gzip_segment_bytes": opts["gzip_segment"]}
+                    if opts["gzip_segment"] is not None
+                    else {}
+                ),
             )
             archive = compress_bed_bytes_multihost(
                 data,
@@ -256,6 +271,11 @@ def main(argv: list[str] | None = None) -> int:
                 method=opts["method"] or CompressionMethod.default(),
                 use_jax=opts["jax"],
                 gzip_level=opts["gzip_level"] or 6,
+                **(
+                    {"gzip_segment_bytes": opts["gzip_segment"]}
+                    if opts["gzip_segment"] is not None
+                    else {}
+                ),
             )
             if opts["input"] in (None, "-"):
                 # refuse a TTY stdin, as the reference does

@@ -77,6 +77,18 @@ class TestCli:
         r2 = run(["--decode"], input_=r.stdout)
         assert r2.stdout == bed
 
+    def test_gzip_segment_flag(self, rng):
+        from starch3_tpu.format.archive import StarchReader
+
+        bed = make_bed_text(rng, n=2000)
+        r = run(["--gzip", "--gzip-segment=1024"], input_=bed)
+        meta = StarchReader.from_bytes(r.stdout).metadata.streams[0]
+        assert len(meta.block_bit_offsets) > 1  # genuinely segmented
+        r2 = run(["--decode"], input_=r.stdout)
+        assert r2.stdout == bed
+        r3 = run(["--gzip", "--gzip-segment=-1"], input_=bed, check=False)
+        assert r3.returncode != 0
+
 
 def test_extract_chromosome(tmp_path):
     from starch3_tpu.api import compress_bed_bytes, extract_chromosome
