@@ -129,6 +129,8 @@ def _per_chip_stage_rates() -> dict:
     B = 6  # batch-amortized: the sort's dispatch overheads shrink with B
     for n_max in (458_752, 901_120):
         fit = [a for a in datas if a.size <= n_max][:B]
+        if not fit:
+            continue  # no corpus block in this geometry bucket
         while len(fit) < B:
             fit.append(fit[len(fit) % max(len(fit), 1)])
         seqs = np.zeros((B, n_max), np.int32)

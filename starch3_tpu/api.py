@@ -130,16 +130,37 @@ def _decompress_stream(data: bytes, compression_format: str) -> bytes:
             raise FormatError(f"bzip2: {e}") from e
     if compression_format == "gzip":
         # streams may be a concatenation of independent members
-        # (_gzip_members); walk them all, like gzip(1) does
+        # (_gzip_members); walk them all, like gzip(1) does.  Feeding
+        # fixed chunks keeps each member boundary's unused_data copy
+        # bounded, so a many-member stream decodes in O(stream), not
+        # O(members x stream)
+        if not data:
+            return b""
         out = []
+        mv = memoryview(data)
+        pos, n = 0, len(data)
+        # feed bounded slices so each member boundary's unused_data copy
+        # is <= chunk_sz regardless of member count/size
+        chunk_sz = 256 << 10
+        do = zlib.decompressobj(31)
+        carry = b""  # start-of-next-member bytes from a finished member
         try:
-            while data:
-                do = zlib.decompressobj(31)
-                out.append(do.decompress(data))
-                out.append(do.flush())
-                if not do.eof:
-                    raise FormatError("gzip: truncated member")
-                data = do.unused_data
+            while True:
+                if carry:
+                    chunk, carry = carry[:chunk_sz], carry[chunk_sz:]
+                elif pos < n:
+                    chunk = mv[pos : pos + chunk_sz]
+                    pos += len(chunk)
+                else:
+                    if not do.eof:
+                        raise FormatError("gzip: truncated member")
+                    break
+                out.append(do.decompress(chunk))
+                if do.eof:
+                    carry = do.unused_data + carry
+                    if not carry and pos >= n:
+                        break
+                    do = zlib.decompressobj(31)
         except zlib.error as e:
             raise FormatError(f"gzip: {e}") from e
         return b"".join(out)
@@ -433,9 +454,12 @@ def compress_bed_bytes(
                 )
             else:
                 # gzip tier (or empty input): members carry their own
-                # boundaries into the metadata block index
+                # boundaries into the metadata block index and compress
+                # on all cores (zlib releases the GIL)
+                import os
+
                 streams = [
-                    _MemberStream(*_gzip_members(tf.text, config))
+                    _MemberStream(*_gzip_members(tf.text, config, os.cpu_count()))
                     if config.method is CompressionMethod.GZIP
                     else _compress_stream(tf.text, config)
                     for tf in transformed
@@ -822,7 +846,10 @@ def decompress_starch_bytes(
                     )
                     text = b"".join(r[0] for r in results)
                 elif sf is not None:
-                    text = b"".join(f.result() for f in sf[1])
+                    try:
+                        text = b"".join(f.result() for f in sf[1])
+                    except FormatError as e:
+                        raise FormatError(f"{meta.chromosome}: {e}") from e
                 else:
                     text = None
                 finish_futs.append(

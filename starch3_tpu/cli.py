@@ -127,21 +127,21 @@ def _parse_args(argv: list[str]) -> dict:
 
             jax.config.update("jax_platforms", plat)
         elif a.startswith("--gzip-level="):
-            lv = int(a[len("--gzip-level=") :])
+            lv = _int_opt(a[len("--gzip-level=") :], "--gzip-level")
             if not 1 <= lv <= 9:
                 raise OptionError("--gzip-level must be 1..9")
             opts["gzip_level"] = lv
         elif a.startswith("--gzip-segment="):
-            seg = int(a[len("--gzip-segment=") :])
+            seg = _int_opt(a[len("--gzip-segment=") :], "--gzip-segment")
             if seg < 0:
                 raise OptionError("--gzip-segment must be >= 0")
             opts["gzip_segment"] = seg
         elif a.startswith("--coordinator="):
             opts["coordinator"] = a[len("--coordinator=") :]
         elif a.startswith("--num-hosts="):
-            opts["num_hosts"] = int(a[len("--num-hosts=") :])
+            opts["num_hosts"] = _int_opt(a[len("--num-hosts=") :], "--num-hosts")
         elif a.startswith("--host-id="):
-            opts["host_id"] = int(a[len("--host-id=") :])
+            opts["host_id"] = _int_opt(a[len("--host-id=") :], "--host-id")
         elif a.startswith("--manifest-dir="):
             opts["manifest_dir"] = a[len("--manifest-dir=") :]
         elif a in ("--bzip2", "-b"):
@@ -172,6 +172,22 @@ def _parse_args(argv: list[str]) -> dict:
     return opts
 
 
+def _int_opt(value: str, name: str) -> int:
+    try:
+        return int(value)
+    except ValueError:
+        raise OptionError(f"{name} requires an integer value") from None
+
+
+def _require_piped_stdin() -> None:
+    """Refuse a TTY stdin, as the reference does (starch3api.hpp:890-905)."""
+    mode = os.fstat(sys.stdin.fileno()).st_mode
+    if not (stat.S_ISFIFO(mode) or stat.S_ISREG(mode)):
+        raise InputUnavailableError(
+            "no input stream available: pipe data in or name a file"
+        )
+
+
 def _set_method(opts: dict, m: CompressionMethod) -> None:
     if opts["method"] is not None and opts["method"] is not m:
         # the reference treats two codec flags as a fatal usage error
@@ -182,13 +198,7 @@ def _set_method(opts: dict, m: CompressionMethod) -> None:
 
 def _read_input(path: str | None) -> bytes:
     if path is None or path == "-":
-        # refuse a TTY stdin, as the reference does
-        # (starch3api.hpp:890-905)
-        mode = os.fstat(sys.stdin.fileno()).st_mode
-        if not (stat.S_ISFIFO(mode) or stat.S_ISREG(mode)):
-            raise InputUnavailableError(
-                "no input stream available: pipe data in or name a file"
-            )
+        _require_piped_stdin()
         return sys.stdin.buffer.read()
     if not os.path.exists(path):
         raise InputUnavailableError(f"input file {path!r} does not exist")
@@ -278,13 +288,7 @@ def main(argv: list[str] | None = None) -> int:
                 ),
             )
             if opts["input"] in (None, "-"):
-                # refuse a TTY stdin, as the reference does
-                # (starch3api.hpp:890-905)
-                mode = os.fstat(sys.stdin.fileno()).st_mode
-                if not (stat.S_ISFIFO(mode) or stat.S_ISREG(mode)):
-                    raise InputUnavailableError(
-                        "no input stream available: pipe data in or name a file"
-                    )
+                _require_piped_stdin()
                 _stream_to_sink(
                     opts["output"],
                     lambda f: compress_bed_stream(sys.stdin.buffer, f, config),

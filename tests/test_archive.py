@@ -118,6 +118,24 @@ class TestEndToEnd:
         assert decompress_starch_bytes(archive, workers=1) == bed
         assert decompress_starch_bytes(archive, workers=4) == bed
 
+    def test_gzip_many_member_serial_decode(self, rng):
+        """The serial (index-free) decoder walks hundreds of members via
+        bounded chunk feeding — including members far smaller than the
+        feed chunk (carry path) — and matches the input."""
+        from starch3_tpu.api import _decompress_stream, _gzip_members
+        from starch3_tpu.config import EncodeConfig as EC
+
+        text = bytes(rng.integers(32, 127, 200_000, dtype="u1").data)
+        cfg = EC(method=CompressionMethod.GZIP, gzip_segment_bytes=512)
+        stream, offs = _gzip_members(text, cfg)
+        assert len(offs) == (len(text) + 511) // 512
+        assert _decompress_stream(stream, "gzip") == text
+        # corrupting a middle member surfaces as FormatError, not garbage
+        bad = bytearray(stream)
+        bad[len(stream) // 2] ^= 0xFF
+        with pytest.raises(FormatError):
+            _decompress_stream(bytes(bad), "gzip")
+
     def test_gzip_small_stream_stays_single_member(self, rng):
         """At or under one segment the stream is one member with no
         index — byte-compatible with pre-index archives (the
