@@ -62,6 +62,33 @@ class TestMultihostSharding:
         assert archives[0] == compress_bed_bytes(bed)
         assert decompress_starch_bytes(archives[0]) == bed
 
+    def test_host_count_invariance_gzip_segmented(self, rng):
+        """The segmented gzip tier composes with multihost sharding:
+        member boundaries are input-derived, so archives (including the
+        metadata member index) are byte-identical for any host count and
+        equal to the single-process API's output."""
+        from starch3_tpu.config import CompressionMethod, EncodeConfig
+
+        cfg = EncodeConfig(
+            method=CompressionMethod.GZIP, gzip_segment_bytes=1024
+        )
+        bed = make_bed_text(rng, n=1200, chroms=("chr1", "chr2", "chr3"))
+        blocks = parse_bed(bed)
+        order = [b.chrom for b in blocks]
+        archives = []
+        for n_hosts in (1, 3):
+            results = {}
+            for h in range(n_hosts):
+                results.update(
+                    encode_corpus_multihost(
+                        blocks, config=cfg, num_hosts=n_hosts, host_id=h
+                    )
+                )
+            archives.append(assemble_ordered(order, results, compression="gzip"))
+        assert archives[0] == archives[1]
+        assert archives[0] == compress_bed_bytes(bed, cfg)
+        assert decompress_starch_bytes(archives[0]) == bed
+
     def test_fingerprint_stable(self, rng):
         texts = [bytes(rng.integers(0, 255, 100, dtype=np.uint8)) for _ in range(3)]
         assert corpus_fingerprint(texts) == corpus_fingerprint(list(texts))
