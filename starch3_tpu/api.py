@@ -750,6 +750,63 @@ def compress_bed_stream(
     writer.finish()
 
 
+def _submit_stream_blocks(ex, meta, stream: bytes, fmt: str, use_blocks: bool):
+    """Fan one stream's blocks/members out on executor ``ex`` via the
+    metadata block index.  Returns ("bz2"|"gz", [futures]) or None when
+    the stream has no usable index (callers decode it whole)."""
+    offs = list(getattr(meta, "block_bit_offsets", []) or [])
+    if use_blocks and len(offs) > 1 and len(stream) >= 4:
+        from starch3_tpu.runtime import bz2_decode_block_native
+
+        level = stream[3] - 0x30
+        if 1 <= level <= 9:
+            return (
+                "bz2",
+                [
+                    ex.submit(bz2_decode_block_native, stream, off, level)
+                    for off in offs
+                ],
+            )
+    elif (
+        fmt == "gzip"
+        and len(offs) > 1
+        and all(o % 8 == 0 for o in offs)
+        and offs[0] == 0
+    ):
+        # member-parallel gzip: the index records byte-aligned member
+        # boundaries (_gzip_members); each slice is a self-contained
+        # member with its own CRC32
+        bounds = [o // 8 for o in offs] + [len(stream)]
+        return (
+            "gz",
+            [
+                ex.submit(
+                    _gzip_member_decode, stream[bounds[k] : bounds[k + 1]]
+                )
+                for k in range(len(offs))
+            ],
+        )
+    return None
+
+
+def _join_stream_blocks(meta, stream: bytes, sf) -> bytes | None:
+    """Join a _submit_stream_blocks fan-out into the stream's transformed
+    text (verifying the bzip2 combined CRC); None when sf is None."""
+    if sf is None:
+        return None
+    if sf[0] == "bz2":
+        try:
+            results = [f.result() for f in sf[1]]
+        except ValueError as e:
+            raise FormatError(f"{meta.chromosome}: {e}") from e
+        _verify_stream_tail(meta.chromosome, stream, [r[1] for r in results])
+        return b"".join(r[0] for r in results)
+    try:
+        return b"".join(f.result() for f in sf[1])
+    except FormatError as e:
+        raise FormatError(f"{meta.chromosome}: {e}") from e
+
+
 def decompress_starch_bytes(
     data: bytes, workers: int | None = None, use_jax: bool = False, mesh=None
 ) -> bytes:
@@ -788,7 +845,7 @@ def decompress_starch_bytes(
     if workers > 1 and items:
         from concurrent.futures import ThreadPoolExecutor
 
-        from starch3_tpu.runtime import bz2_decode_block_native, get_lib
+        from starch3_tpu.runtime import get_lib
 
         # per-stream flow on one pool: multi-block streams fan their
         # blocks out (block_bit_offsets index); each stream's inverse
@@ -796,62 +853,13 @@ def decompress_starch_bytes(
         # later streams' blocks overlap earlier streams' untransform
         use_blocks = fmt == "bzip2" and get_lib() is not None
         with ThreadPoolExecutor(workers) as ex:
-            block_futs = []
-            for si, (meta, stream) in enumerate(items):
-                offs = list(getattr(meta, "block_bit_offsets", []) or [])
-                sf = None
-                if use_blocks and len(offs) > 1 and len(stream) >= 4:
-                    level = stream[3] - 0x30
-                    if 1 <= level <= 9:
-                        sf = (
-                            "bz2",
-                            [
-                                ex.submit(
-                                    bz2_decode_block_native, stream, off, level
-                                )
-                                for off in offs
-                            ],
-                        )
-                elif (
-                    fmt == "gzip"
-                    and len(offs) > 1
-                    and all(o % 8 == 0 for o in offs)
-                    and offs[0] == 0
-                ):
-                    # member-parallel gzip: the index records byte-aligned
-                    # member boundaries (_gzip_members); each slice is a
-                    # self-contained member with its own CRC32
-                    bounds = [o // 8 for o in offs] + [len(stream)]
-                    sf = (
-                        "gz",
-                        [
-                            ex.submit(
-                                _gzip_member_decode,
-                                stream[bounds[k] : bounds[k + 1]],
-                            )
-                            for k in range(len(offs))
-                        ],
-                    )
-                block_futs.append(sf)
+            block_futs = [
+                _submit_stream_blocks(ex, meta, stream, fmt, use_blocks)
+                for meta, stream in items
+            ]
             finish_futs = []
             for si, (meta, stream) in enumerate(items):
-                sf = block_futs[si]
-                if sf is not None and sf[0] == "bz2":
-                    try:
-                        results = [f.result() for f in sf[1]]
-                    except ValueError as e:
-                        raise FormatError(f"{meta.chromosome}: {e}") from e
-                    _verify_stream_tail(
-                        meta.chromosome, stream, [r[1] for r in results]
-                    )
-                    text = b"".join(r[0] for r in results)
-                elif sf is not None:
-                    try:
-                        text = b"".join(f.result() for f in sf[1])
-                    except FormatError as e:
-                        raise FormatError(f"{meta.chromosome}: {e}") from e
-                else:
-                    text = None
+                text = _join_stream_blocks(meta, stream, block_futs[si])
                 finish_futs.append(
                     ex.submit(_decode_stream_to_bed, meta, stream, fmt, text)
                 )
@@ -907,20 +915,37 @@ def decompress_starch_file(in_path: str, out_fh, workers: int | None = None) -> 
             write_one(pending.popleft().result())
 
 
-def extract_chromosome(data: bytes, chrom: str) -> bytes:
+def extract_chromosome(data: bytes, chrom: str, workers: int | None = None) -> bytes:
     """Random-access decode of one chromosome's BED records.
 
     The metadata byte-offset index makes this O(stream) instead of
     O(archive) — the capability the reference's per-chromosome framing
     and block-close offset plumbing (SURVEY.md C5/C13) was building
-    toward.
+    toward.  Multi-block (bzip2) / multi-member (gzip) streams decode
+    block-parallel via the per-stream block index.
     """
     reader = StarchReader.from_bytes(data)
+    fmt = reader.metadata.compression_format
     for meta in reader.metadata.streams:
-        if meta.chromosome == chrom:
-            return _decode_stream_to_bed(
-                meta, reader.stream_bytes(chrom), reader.metadata.compression_format
-            )
+        if meta.chromosome != chrom:
+            continue
+        stream = reader.stream_bytes(chrom)
+        text = None
+        offs = meta.block_bit_offsets
+        if workers is None:
+            import os
+
+            workers = os.cpu_count() or 1
+        if workers > 1 and len(offs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            from starch3_tpu.runtime import get_lib
+
+            use_blocks = fmt == "bzip2" and get_lib() is not None
+            with ThreadPoolExecutor(min(workers, len(offs))) as ex:
+                sf = _submit_stream_blocks(ex, meta, stream, fmt, use_blocks)
+                text = _join_stream_blocks(meta, stream, sf)
+        return _decode_stream_to_bed(meta, stream, fmt, text)
     raise FormatError(f"chromosome {chrom!r} not present in archive")
 
 
