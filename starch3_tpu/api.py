@@ -130,24 +130,24 @@ def _decompress_stream(data: bytes, compression_format: str) -> bytes:
             raise FormatError(f"bzip2: {e}") from e
     if compression_format == "gzip":
         # streams may be a concatenation of independent members
-        # (_gzip_members); walk them all, like gzip(1) does.  Feeding
-        # fixed chunks keeps each member boundary's unused_data copy
-        # bounded, so a many-member stream decodes in O(stream), not
-        # O(members x stream)
-        if not data:
-            return b""
+        # (_gzip_members); walk them all, like gzip(1) does.  An empty
+        # stream is corruption, not empty text: the encoder emits a
+        # ~20-byte member even for empty input, so the truncated-member
+        # error below is the right answer for b"".
         out = []
         mv = memoryview(data)
         pos, n = 0, len(data)
-        # feed bounded slices so each member boundary's unused_data copy
-        # is <= chunk_sz regardless of member count/size
+        # feed bounded slices; a finished member's unused_data becomes
+        # the next feed source directly (never re-concatenated), so each
+        # boundary copies <= chunk_sz and a many-member stream decodes
+        # in O(stream), not O(members x chunk)
         chunk_sz = 256 << 10
         do = zlib.decompressobj(31)
         carry = b""  # start-of-next-member bytes from a finished member
         try:
             while True:
                 if carry:
-                    chunk, carry = carry[:chunk_sz], carry[chunk_sz:]
+                    chunk, carry = carry, b""
                 elif pos < n:
                     chunk = mv[pos : pos + chunk_sz]
                     pos += len(chunk)
@@ -157,7 +157,9 @@ def _decompress_stream(data: bytes, compression_format: str) -> bytes:
                     break
                 out.append(do.decompress(chunk))
                 if do.eof:
-                    carry = do.unused_data + carry
+                    # unused_data <= len(chunk) <= chunk_sz: carry sizes
+                    # only shrink until the next fresh input chunk
+                    carry = do.unused_data
                     if not carry and pos >= n:
                         break
                     do = zlib.decompressobj(31)

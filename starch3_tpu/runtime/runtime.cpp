@@ -1312,7 +1312,10 @@ static inline int next_symbol(BitReader& br, const BlockHead& H, int t,
     uint16_t e = H.lut[t][br.peek(BlockHead::kLut)];
     if (e != 0xFFFF) {
         br.pos += e & 31;
-        if (br.pos > total_bits) return -1;
+        if (br.pos > total_bits) {
+            br.ok = false;  // ran past the input: truncation, not data error
+            return -1;
+        }
         return e >> 5;
     }
     int l = H.min_len_t[t];
@@ -1462,31 +1465,66 @@ static int64_t dec_block(BitReader& br, int64_t max_block, uint8_t* out,
 
 }  // namespace
 
+// Whole-input decode with stdlib-bz2.decompress semantics (CPython
+// Lib/bz2.py decompress): decode a CONCATENATION of streams; after at
+// least one complete stream, trailing data that errors out (bad header,
+// bad magic, data/CRC error) is silently ignored, but a stream that is
+// merely TRUNCATED (input exhausted before its end-of-stream marker)
+// is an error wherever it sits.  Input being fully consumed is thereby
+// verified: anything after the last stream's CRC is either another
+// stream, ignorable junk, or padding bits.
 int64_t s3_bz2_decompress(const uint8_t* in, int64_t in_len, uint8_t* out,
                           int64_t out_cap) {
     crc_init();
-    if (in_len < 14 || in[0] != 'B' || in[1] != 'Z' || in[2] != 'h') return -1;
-    int level = in[3] - '0';
-    if (level < 1 || level > 9) return -1;
-    BitReader br{in, in_len};
-    br.pos = 32;
-    int64_t out_len = 0;
-    uint32_t combined = 0;
-    const int64_t max_block = 100000LL * level + 64;
+    int64_t committed = 0;  // output through the last complete stream
+    int64_t stream_at = 0;  // byte offset of the current stream header
+    bool first = true;
     for (;;) {
-        uint64_t magic = br.read48();
-        if (!br.ok) return -1;
-        if (magic == 0x177245385090ULL) {
-            uint32_t stored = br.read(32);
-            if (!br.ok || stored != combined) return -3;
-            return out_len;
+        if (in_len - stream_at < 4 || in[stream_at] != 'B' ||
+            in[stream_at + 1] != 'Z' || in[stream_at + 2] != 'h') {
+            if (first) return -1;
+            return committed;  // trailing junk after a valid stream
         }
-        if (magic != 0x314159265359ULL) return -1;
-        uint32_t crc;
-        int64_t added = dec_block(br, max_block, out, out_cap, out_len, &crc);
-        if (added < 0) return added;
-        out_len += added;
-        combined = ((combined << 1) | (combined >> 31)) ^ crc;
+        int level = in[stream_at + 3] - '0';
+        if (level < 1 || level > 9) {
+            if (first) return -1;
+            return committed;
+        }
+        BitReader br{in, in_len};
+        br.pos = (stream_at + 4) * 8;
+        int64_t out_len = committed;
+        uint32_t combined = 0;
+        const int64_t max_block = 100000LL * level + 64;
+        for (;;) {
+            uint64_t magic = br.read48();
+            if (!br.ok) return -1;  // truncated: error even in later streams
+            if (magic == 0x177245385090ULL) {
+                uint32_t stored = br.read(32);
+                if (!br.ok) return -1;
+                if (stored != combined) {
+                    if (first) return -3;
+                    return committed;
+                }
+                committed = out_len;
+                break;
+            }
+            if (magic != 0x314159265359ULL) {
+                if (first) return -1;
+                return committed;
+            }
+            uint32_t crc;
+            int64_t added = dec_block(br, max_block, out, out_cap, out_len, &crc);
+            if (added == -2) return -2;  // output capacity: caller regrows
+            if (added < 0) {
+                if (first || !br.ok) return added;
+                return committed;  // data error in a later stream: ignore it
+            }
+            out_len += added;
+            combined = ((combined << 1) | (combined >> 31)) ^ crc;
+        }
+        first = false;
+        stream_at = (br.pos + 7) / 8;  // padding bits belong to this stream
+        if (stream_at >= in_len) return committed;
     }
 }
 

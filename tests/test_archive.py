@@ -136,6 +136,20 @@ class TestEndToEnd:
         with pytest.raises(FormatError):
             _decompress_stream(bytes(bad), "gzip")
 
+    def test_gzip_empty_stream_is_corruption(self):
+        """A zero-length gzip stream is corruption, not empty text: the
+        encoder emits a ~20-byte member even for empty input
+        (_gzip_members), so b'' must fail like any truncated member."""
+        from starch3_tpu.api import _decompress_stream, _gzip_members
+        from starch3_tpu.config import EncodeConfig as EC
+
+        cfg = EC(method=CompressionMethod.GZIP)
+        stream, _offs = _gzip_members(b"", cfg)
+        assert len(stream) > 0
+        assert _decompress_stream(stream, "gzip") == b""
+        with pytest.raises(FormatError):
+            _decompress_stream(b"", "gzip")
+
     def test_gzip_small_stream_stays_single_member(self, rng):
         """At or under one segment the stream is one member with no
         index — byte-compatible with pre-index archives (the

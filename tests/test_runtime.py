@@ -99,6 +99,34 @@ class TestNativeDecoder:
         stream = bz2.compress(data, 9)
         assert runtime.bz2_decompress_native(stream) == data
 
+    def test_stdlib_trailing_semantics(self, rng):
+        """Whole-input decode matches stdlib bz2.decompress for every
+        valid-stream-plus-trailing-data shape (CPython Lib/bz2.py):
+        concatenated streams decode, junk/corrupt trailers after a
+        complete stream are ignored, truncation errors anywhere."""
+        data = rng.integers(0, 50, 80_000, dtype=np.uint8).tobytes()
+        s = bz2.compress(data, 9)
+        # concatenated streams -> both decoded
+        assert runtime.bz2_decompress_native(s + s) == bz2.decompress(s + s)
+        # trailing junk after a complete stream -> ignored
+        for junk in (b"garbage!", b"\x00", b"\x00" * 16, b"BZh9junkjunkjunk"):
+            assert runtime.bz2_decompress_native(s + junk) == data
+            assert bz2.decompress(s + junk) == data
+        # corrupt second stream (bad final CRC) -> ignored, like stdlib
+        bad = bytearray(s)
+        bad[-1] ^= 0xFF
+        assert runtime.bz2_decompress_native(s + bytes(bad)) == data
+        assert bz2.decompress(s + bytes(bad)) == data
+        # truncation -> error, whether first or later stream
+        for trunc in (s[: len(s) // 2], s + s[: len(s) // 2], s[:-1]):
+            with pytest.raises(ValueError):
+                runtime.bz2_decompress_native(trunc)
+            with pytest.raises(ValueError):
+                bz2.decompress(trunc)
+        # first stream corrupt -> error (nothing committed to ignore into)
+        with pytest.raises(ValueError):
+            runtime.bz2_decompress_native(bytes(bad))
+
     def test_rle1_decode(self, rng):
         raw = np.repeat(
             rng.integers(0, 4, 200, dtype=np.uint8), rng.integers(1, 300, 200)
