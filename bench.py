@@ -67,6 +67,33 @@ def make_genome_bed(n_per: int = 45_000, seed: int = 5) -> bytes:
     return b"\n".join(parts) + b"\n"
 
 
+def make_genome_bed_wide(n_per: int = 25_000, seed: int = 7) -> bytes:
+    """BASELINE config 3: BED with id/score/strand remainder columns
+    (mixed numeric+text blocks).  The transformed text keeps remainders
+    verbatim (reference passthrough starch3api.hpp:456-478), giving a
+    ~21-symbol alphabet — the bits==5 device tier."""
+    rng = np.random.default_rng(seed)
+    parts = []
+    for c in list(range(1, 23)) + ["X", "Y"]:
+        name = f"chr{c}".encode()
+        gaps = rng.integers(1, 2000, n_per)
+        starts = 10_000 + np.cumsum(gaps)
+        lens = rng.integers(20, 500, n_per)
+        stops = starts + lens
+        scores = rng.integers(0, 1000, n_per)
+        strands = rng.integers(0, 2, n_per)
+        lines = []
+        for i, (s, e, sc, st) in enumerate(
+            zip(starts.tolist(), stops.tolist(), scores.tolist(), strands.tolist())
+        ):
+            lines.append(
+                b"%s\t%d\t%d\tpeak_%d\t%d\t%s"
+                % (name, s, e, i, sc, b"+" if st else b"-")
+            )
+        parts.append(b"\n".join(lines))
+    return b"\n".join(parts) + b"\n"
+
+
 def make_chr21_bed(n_intervals: int = 100_000, seed: int = 21) -> bytes:
     rng = np.random.default_rng(seed)
     gaps = rng.integers(1, 900, n_intervals)
@@ -159,6 +186,58 @@ def _per_chip_stage_rates() -> dict:
             "mtf_narrow_pallas": mbps(dt_mtf),
             "full_step_combined": mbps(dt_full),
         }
+    # mid-width class (bits==5): config-3 corpus blocks (21 symbols)
+    from starch3_tpu.ops.bwt_fast import bwt_sort_fast_mid
+    from starch3_tpu.parallel.pipeline import _jitted_fused_step_ranks_mid
+
+    bed_w = make_genome_bed_wide()
+    texts_w = [tf.text for tf in _parse_transform(bed_w)]
+    datas_w = sorted(
+        (np.frombuffer(b.data, np.uint8) for t in texts_w
+         for b in rle1_split_blocks(t, 9)),
+        key=lambda a: -a.size,
+    )
+    n_max = 901_120
+    fit = [a for a in datas_w if a.size <= n_max][:B]
+    if fit:
+        while len(fit) < B:
+            fit.append(fit[len(fit) % max(len(fit), 1)])
+        seqs = np.zeros((B, n_max), np.int32)
+        lens = np.zeros(B, np.int32)
+        spw = 6
+        n_words = (n_max + spw - 1) // spw
+        words = np.zeros((B, n_words), np.uint32)
+        for i, arr in enumerate(fit):
+            used = np.bincount(arr, minlength=256) > 0
+            u2s = (np.cumsum(used) - 1).astype(np.int32)
+            s = u2s[arr]
+            seqs[i, : arr.size] = s
+            lens[i] = arr.size
+            sp = np.zeros(n_words * spw, np.uint32)
+            sp[: arr.size] = s
+            sp = sp.reshape(n_words, spw)
+            w = sp[:, 0].copy()
+            for k in range(1, spw):
+                w |= sp[:, k] << (5 * k)
+            words[i] = w
+        seqs_d, lens_d = jnp.asarray(seqs), jnp.asarray(lens)
+        words_d = jnp.asarray(words.view(np.int32))
+        sort5 = jax.jit(jax.vmap(lambda s, n: bwt_sort_fast_mid(s, n, n_max, 5)))
+        dt_sort = bench_fn(sort5, seqs_d, lens_d)
+        ties_total = int(np.asarray(sort5(seqs_d, lens_d)[2]).sum())
+        dt_mtf = bench_fn(
+            jax.jit(lambda s: mtf_ranks_narrow_batch(s, n_max, width=32)), seqs_d
+        )
+        dt_full = bench_fn(
+            _jitted_fused_step_ranks_mid(n_max, 5, True), words_d, lens_d
+        )
+        mbps = lambda dt: round(B * n_max / dt / 1e6, 1)
+        rates["901k_bits5_config3"] = {
+            "bwt_one_sort_4op_mid": mbps(dt_sort),
+            "mtf_narrow32_pallas": mbps(dt_mtf),
+            "full_step_combined": mbps(dt_full),
+            "sort_ties_in_batch": ties_total,
+        }
     rates["note"] = (
         "batch-6-amortized on-chip compute (upload/download excluded); "
         "RLE2 runs in the native host tail in this mode — see docs/PERF.md"
@@ -248,6 +327,17 @@ def main() -> int:
             t0 = time.perf_counter()
             decode_streams(streams)
             ddec_dt = min(ddec_dt, time.perf_counter() - t0)
+        # BASELINE config 3: remainder-column BED through the same paths
+        bed_w = make_genome_bed_wide()
+        dt_w, archive_w = measure_encode(bed_w, use_jax=True, reps=3)
+        host_archive_w = compress_bed_bytes(bed_w, EncodeConfig(use_jax=False))
+        texts_w = [tf.text for tf in _parse_transform(bed_w)]
+        encode_streams(texts_w, host_assist=False)
+        devw_dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            encode_streams(texts_w, host_assist=False)
+            devw_dt = min(devw_dt, time.perf_counter() - t0)
         sys.stdout.write(
             json.dumps(
                 {
@@ -260,6 +350,13 @@ def main() -> int:
                     "transformed_bytes": sum(map(len, texts)),
                     "stages": stage_timer.report(),
                     "per_chip_stage_rates": _per_chip_stage_rates(),
+                    "wide": {
+                        "seconds": dt_w,
+                        "in": len(bed_w),
+                        "identical_to_host": archive_w == host_archive_w,
+                        "device_only_seconds": devw_dt,
+                        "transformed_bytes": sum(map(len, texts_w)),
+                    },
                 }
             )
             + "\n"
@@ -304,6 +401,27 @@ def main() -> int:
     chr21_dt, archive21 = measure_encode(bed21, use_jax=False)
     chr21_mbps = len(bed21) / chr21_dt / 1e6
 
+    # BASELINE config 3: remainder-column BED (id/score/strand) — the
+    # wide-alphabet (bits==5 tier) workload, host path + libbz2 floor
+    bed_w = make_genome_bed_wide()
+    texts_w = [tf.text for tf in _parse_transform(bed_w)]
+    alpha_w = max(len(set(t)) for t in texts_w)
+    baseline_w_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for t in texts_w:
+            stdlib_bz2.compress(t, 9)
+        baseline_w_dt = min(baseline_w_dt, time.perf_counter() - t0)
+    baseline_w_mbps = len(bed_w) / baseline_w_dt / 1e6
+    host_w_dt, archive_w = measure_encode(bed_w, use_jax=False)
+    host_w_mbps = len(bed_w) / host_w_dt / 1e6
+    assert decompress_starch_bytes(archive_w) == bed_w, "config3 round-trip failed"
+    reader_w = StarchReader.from_bytes(archive_w)
+    for meta, t in zip(reader_w.metadata.streams, texts_w):
+        assert reader_w.stream_bytes(meta.chromosome) == stdlib_bz2.compress(t, 9), (
+            f"{meta.chromosome}: config3 stream not bit-identical to libbz2"
+        )
+
     jax = None
     if "--no-jax" not in sys.argv:
         try:
@@ -318,8 +436,32 @@ def main() -> int:
         except (subprocess.TimeoutExpired, Exception):
             jax = None
 
+    config3_wide = {
+        "input_bytes": len(bed_w),
+        "archive_bytes": len(archive_w),
+        "transformed_alphabet_symbols": alpha_w,
+        "baseline_libbz2_1core_mb_s": round(baseline_w_mbps, 3),
+        "host_path_mb_s": round(host_w_mbps, 3),
+    }
+
     if jax is not None:
         assert jax["identical_to_host"], "jax archive != host archive"
+        if "wide" in jax:
+            assert jax["wide"]["identical_to_host"], "config3 jax != host archive"
+            config3_wide["jax_path_mb_s"] = round(
+                jax["wide"]["in"] / jax["wide"]["seconds"] / 1e6, 3
+            )
+            config3_wide["device_only_mb_s_input_equiv"] = round(
+                jax["wide"]["in"] / jax["wide"]["device_only_seconds"] / 1e6, 3
+            )
+            config3_wide["device_only_mb_s_transformed"] = round(
+                jax["wide"]["transformed_bytes"]
+                / jax["wide"]["device_only_seconds"] / 1e6, 3
+            )
+            config3_wide["vs_same_run_baseline"] = {
+                "host": round(host_w_mbps / baseline_w_mbps, 3),
+                "jax": round(config3_wide["jax_path_mb_s"] / baseline_w_mbps, 3),
+            }
         mbps = jax["in"] / jax["seconds"] / 1e6
         metric = (
             "starch encode, production --jax path (device kernels + host-assist"
@@ -364,6 +506,7 @@ def main() -> int:
                     "host_path_mb_s": round(host_mbps, 3),
                     "decode_mb_s": round(decode_mbps, 3),
                     "chr21_single_stream_mb_s": round(chr21_mbps, 3),
+                    "config3_wide": config3_wide,
                     **device_only,
                     "regressions": regressions,
                     "tunnel_mb_s": {"upload": 76, "download": 45},

@@ -618,35 +618,6 @@ def compress_bed_stream(
             )
 
     use_jax_queue = config.use_jax and config.method is CompressionMethod.BZIP2
-    jax_window = 256 << 20  # uncompressed bytes per device-queue flush
-    jax_batch: list = []  # (chrom, text, lc, nu, u)
-    jax_batch_bytes = 0
-
-    def flush_jax() -> None:
-        nonlocal jax_batch, jax_batch_bytes
-        if not jax_batch:
-            return
-        from starch3_tpu.parallel.pipeline import encode_streams
-
-        encs = encode_streams(
-            [t for _c, t, _l, _n, _u in jax_batch],
-            level=config.block_size_100k,
-            batch_size=config.blocks_per_batch,
-            device_rle2=config.device_rle2,
-            fast_bwt=config.fast_bwt,
-            device_huffman=config.device_huffman,
-        )
-        for (chrom, text, lc, nu, u), e in zip(jax_batch, encs):
-            writer.add_stream(
-                chrom,
-                e.data,
-                uncompressed_size=len(text),
-                line_count=lc,
-                base_count_nonunique=nu,
-                base_count_unique=u,
-                block_bit_offsets=list(e.block_bit_offsets),
-            )
-        jax_batch, jax_batch_bytes = [], 0
 
     def emit(chrom: str, text: bytes, lc: int, nu: int, u: int) -> None:
         # chromosome streams compress on the pool; archive writes stay in
@@ -656,13 +627,6 @@ def compress_bed_stream(
                 f"chromosome {chrom!r} is not contiguous; input must be sorted"
             )
         seen.add(chrom)
-        if use_jax_queue:
-            nonlocal jax_batch_bytes
-            jax_batch.append((chrom, text, lc, nu, u))
-            jax_batch_bytes += len(text)
-            if jax_batch_bytes >= jax_window:
-                flush_jax()
-            return
         if len(text) > big_stream:
             # multi-block chromosome: drain the window, then let this
             # stream's own blocks use the whole machine (no pool nesting)
@@ -693,7 +657,10 @@ def compress_bed_stream(
             raise BedParseError("unparseable BED chunk")
         return groups
 
-    try:
+    def iter_groups():
+        """Yield each completed chromosome's native transform tuple as
+        the chunked read progresses (the carry logic merges a chromosome
+        whose lines span chunk boundaries)."""
         carry_name: str | None = None
         carry_parts: list[bytes] = []
         partial = b""
@@ -730,12 +697,10 @@ def compress_bed_stream(
                     names = names[1:]
                     spans = spans[1:]
                 carry_raw = b"".join(carry_parts)
-                for g in transform_or_raise(carry_raw):
-                    emit(g[0], g[1], g[2], g[3], g[4])
+                yield from transform_or_raise(carry_raw)
                 carry_name, carry_parts = None, []
             # all groups except the last are fully bounded: final
-            for g in groups[:-1]:
-                emit(g[0], g[1], g[2], g[3], g[4])
+            yield from groups[:-1]
             carry_name = names[-1]
             carry_parts = [buf[spans[-1][0] :]]
         writer.final_newline = not partial
@@ -743,9 +708,55 @@ def compress_bed_stream(
             carry_parts.append(partial)  # final line without newline
         if carry_parts:
             carry_raw = b"".join(carry_parts)
-            for g in transform_or_raise(carry_raw):
-                emit(g[0], g[1], g[2], g[3], g[4])
-        flush_jax()
+            yield from transform_or_raise(carry_raw)
+
+    if use_jax_queue:
+        # the device queue runs continuously across the whole corpus:
+        # the feeder (parse) thread and the incremental assembler meet
+        # through encode_streams_iter's bounded window, so the device
+        # never idles between chromosomes and memory stays ~window +
+        # largest chromosome (the round-3 window-flush design idled the
+        # device during every inter-window parse — the streaming tax)
+        from starch3_tpu.parallel.pipeline import encode_streams_iter
+
+        meta_q: deque = deque()  # feed-order (chrom, len, lc, nu, u)
+
+        def gen_texts():
+            for g in iter_groups():
+                chrom = g[0]
+                if chrom in seen:
+                    raise BedParseError(
+                        f"chromosome {chrom!r} is not contiguous; "
+                        "input must be sorted"
+                    )
+                seen.add(chrom)
+                meta_q.append((chrom, len(g[1]), g[2], g[3], g[4]))
+                yield g[1]
+
+        for enc in encode_streams_iter(
+            gen_texts(),
+            level=config.block_size_100k,
+            batch_size=config.blocks_per_batch,
+            device_rle2=config.device_rle2,
+            fast_bwt=config.fast_bwt,
+            device_huffman=config.device_huffman,
+        ):
+            chrom, tlen, lc, nu, u = meta_q.popleft()
+            writer.add_stream(
+                chrom,
+                enc.data,
+                uncompressed_size=tlen,
+                line_count=lc,
+                base_count_nonunique=nu,
+                base_count_unique=u,
+                block_bit_offsets=list(enc.block_bit_offsets),
+            )
+        writer.finish()
+        return
+
+    try:
+        for g in iter_groups():
+            emit(g[0], g[1], g[2], g[3], g[4])
         drain(0)
     finally:
         pool.shutdown(wait=False, cancel_futures=True)

@@ -193,6 +193,93 @@ def bwt_sort_fast3(seq: jax.Array, n: jax.Array, n_max: int):
     return last, orig_ptr, ties
 
 
+@functools.partial(jax.jit, static_argnames=("n_max", "bits"))
+def bwt_sort_fast_mid(seq: jax.Array, n: jax.Array, n_max: int, bits: int):
+    """One-sort BWT for mid-width dense alphabets (17..64 symbols).
+
+    bits==5 (alphabet <= 32): keys pack 6 symbols per uint32 (30 bits);
+    4 sort operands give 23 symbols of context with the previous-symbol
+    payload riding in the last key's low 5 bits (6+6+6+5 symbols).
+    bits==6 (alphabet <= 64): 5 symbols per key; 5 operands give 24
+    symbols of context (5+5+5+5+4) with a 6-bit payload.
+
+    The context lengths are measured, not guessed: on the config-3
+    bench corpus (transformed BED with id/score/strand remainders — a
+    21-symbol alphabet) 16 symbols of context tie ~470 times per 650 kB
+    block and 19 symbols ~25 times, while 23 symbols tie zero times
+    (bench.py wide-corpus detail) — so the bits==8 tier's 16-symbol
+    context would demote essentially every block to the host, and this
+    tier is what makes mixed numeric+text blocks device-viable at all.
+
+    Same contract as bwt_sort_fast3: returns (last, orig_ptr, ties);
+    tie detection and the origin-pointer count mask the payload bits, and
+    a tied block re-encodes exactly elsewhere.
+    """
+    if bits == 5:
+        spk, n_ctx_keys = 6, 3
+    elif bits == 6:
+        spk, n_ctx_keys = 5, 4
+    else:
+        raise ValueError("bits must be 5 or 6")
+
+    idx = jnp.arange(n_max, dtype=jnp.int32)
+    valid = idx < n
+    seq = jnp.where(valid, seq, 0)
+
+    def shift(arr, k_static):
+        k = jnp.where(k_static >= n, jnp.int32(k_static) % jnp.maximum(n, 1),
+                      jnp.int32(k_static))
+        return _cyclic_shift(arr, k, n, idx)
+
+    # doubling accumulators: a_c[i] packs c consecutive symbols MSB-first
+    a1 = seq.astype(jnp.uint32)
+    a2 = (a1 << bits) | shift(a1, 1).astype(jnp.uint32)
+    a4 = (a2 << (2 * bits)) | shift(a2, 2).astype(jnp.uint32)
+    acc = {1: a1, 2: a2, 4: a4}
+
+    def word(p, k):
+        """Pack symbols seq[(i+p) .. (i+p+k)) (cyclic) MSB-first."""
+        out = None
+        for c in (4, 2, 1):
+            while k >= c:
+                part = acc[c] if p == 0 else shift(acc[c], p).astype(jnp.uint32)
+                out = part if out is None else (out << (c * bits)) | part
+                p += c
+                k -= c
+        return out
+
+    nm1 = jnp.maximum(n - 1, 0)
+    prev = _cyclic_shift(seq, nm1, n, idx).astype(jnp.uint32)
+
+    # valid keys stay < 2^30 <= _BIGU, so padded rows sort to the tail
+    keys = [
+        jnp.where(valid, word(j * spk, spk), _BIGU) for j in range(n_ctx_keys)
+    ]
+    tail = (word(n_ctx_keys * spk, spk - 1) << bits) | prev
+    keys.append(jnp.where(valid, tail, _BIGU))
+
+    sorted_ops = jax.lax.sort(tuple(keys), num_keys=len(keys), is_stable=False)
+    last = (sorted_ops[-1] & ((1 << bits) - 1)).astype(jnp.int32)
+
+    ar = jnp.arange(n_max - 1, dtype=jnp.int32)
+    eq = ar < n - 1
+    for ks in sorted_ops[:-1]:
+        eq = eq & (ks[1:] == ks[:-1])
+    kt = sorted_ops[-1] >> bits
+    eq = eq & (kt[1:] == kt[:-1])
+    ties = eq.sum().astype(jnp.int32)
+
+    cmp_keys = keys[:-1] + [keys[-1] >> bits]
+    lt = jnp.zeros(n_max, dtype=bool)
+    ge = jnp.ones(n_max, dtype=bool)
+    for kk in cmp_keys:
+        k0 = kk[0]
+        lt = lt | (ge & (kk < k0))
+        ge = ge & (kk == k0)
+    orig_ptr = jnp.sum(lt & valid).astype(jnp.int32)
+    return last, orig_ptr, ties
+
+
 def bwt_fast_host(block_np: np.ndarray):
     """Host-convenience wrapper over raw bytes (tests): dense-remaps,
     picks the bit width, returns (last bytes, orig_ptr, ties)."""

@@ -42,10 +42,10 @@ POSITIONS_PER_TILE = ROWS * 128
 _NEG = np.int32(-(1 << 30))
 
 
-def _make_kernel(tiles_per_row: int):
+def _make_kernel(tiles_per_row: int, width: int):
     def kernel(seq_ref, out_ref, carry_ref):
-        srow = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (width, 128), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (width, 128), 1)
         t = pl.program_id(0)
         tr = t % tiles_per_row
 
@@ -53,13 +53,18 @@ def _make_kernel(tiles_per_row: int):
         def _():
             # initial list order L0(s) = -1 - s
             carry_ref[:, :] = -1 - jax.lax.broadcasted_iota(
-                jnp.int32, (16, 128), 0
+                jnp.int32, (width, 128), 0
             )
 
         base = tr * POSITIONS_PER_TILE
+        sub_rolls = []
+        sh = 1
+        while sh < width:
+            sub_rolls.append(sh)
+            sh *= 2
         for w in range(ROWS):
             seqrow = seq_ref[w, :][None, :]
-            onehot = jnp.broadcast_to(seqrow, (16, 128)) == srow
+            onehot = jnp.broadcast_to(seqrow, (width, 128)) == srow
             pos = base + w * 128 + lane
             occ = jnp.where(onehot, pos, _NEG)
             # inclusive cumulative max along lanes (last occurrence <= l)
@@ -70,36 +75,39 @@ def _make_kernel(tiles_per_row: int):
                 )
             excl = jnp.where(lane >= 1, pltpu.roll(inc, 1, axis=1), _NEG)
             last = jnp.maximum(excl, carry_ref[:, :])
-            # own = last[own symbol], broadcast over the 16 symbol planes
-            # (cyclic sublane rolls need no masks: 16 is the full axis)
+            # own = last[own symbol], broadcast over the symbol planes
+            # (cyclic sublane rolls need no masks: width is the full axis)
             own = jnp.where(onehot, last, _NEG)
-            for sh in (1, 2, 4, 8):
+            for sh in sub_rolls:
                 own = jnp.maximum(own, pltpu.roll(own, sh, axis=0))
             rk = (last > own).astype(jnp.int32)
-            for sh in (1, 2, 4, 8):
+            for sh in sub_rolls:
                 rk = rk + pltpu.roll(rk, sh, axis=0)
             out_ref[w, :] = rk[0, :]
             carry_ref[:, :] = jnp.maximum(
-                carry_ref[:, :], jnp.broadcast_to(inc[:, 127:128], (16, 128))
+                carry_ref[:, :], jnp.broadcast_to(inc[:, 127:128], (width, 128))
             )
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_max", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_max", "interpret", "width"))
 def mtf_ranks_narrow_batch(
-    seqs: jax.Array, n_max: int, interpret: bool = False
+    seqs: jax.Array, n_max: int, interpret: bool = False, width: int = 16
 ) -> jax.Array:
-    """Batched narrow-alphabet MTF ranks: int32[B, n_max] (values < 16)
-    -> int32[B, n_max].  Entries past each row's true length produce
-    garbage ranks the caller must ignore (padding is only ever a suffix,
-    so it cannot disturb valid positions)."""
+    """Batched narrow-alphabet MTF ranks: int32[B, n_max] (values <
+    ``width``, a power of two in 16/32/64) -> int32[B, n_max].  Entries
+    past each row's true length produce garbage ranks the caller must
+    ignore (padding is only ever a suffix, so it cannot disturb valid
+    positions).  width 16 is the bits==4 production kernel; 32/64 serve
+    the bits==5/6 mid-width tiers (2/4 more vregs per op, same walk)."""
     b, nm = seqs.shape
     assert nm == n_max and n_max % POSITIONS_PER_TILE == 0
+    assert width in (16, 32, 64)
     tpr = n_max // POSITIONS_PER_TILE
     flat = seqs.reshape(b * (n_max // 128), 128)
     out = pl.pallas_call(
-        _make_kernel(tpr),
+        _make_kernel(tpr, width),
         grid=(b * tpr,),
         in_specs=[
             pl.BlockSpec((ROWS, 128), lambda t: (t, 0), memory_space=pltpu.VMEM)
@@ -108,7 +116,7 @@ def mtf_ranks_narrow_batch(
             (ROWS, 128), lambda t: (t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b * (n_max // 128), 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((16, 128), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((width, 128), jnp.int32)],
         interpret=interpret,
     )(flat)
     return out.reshape(b, n_max)

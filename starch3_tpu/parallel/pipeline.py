@@ -21,8 +21,13 @@ SURVEY.md §2 parallelism table), production ("fast") mode for the
            (deterministic: partitioning is input-derived, never
            topology-derived)
 
-Blocks with >16 distinct bytes take the bits==8 variant (width-256
-Pallas MTF + device RLE2, 5-bit-packed symbol download).
+Blocks are classified by alphabet size individually at feed time and
+batched per class (one wide block never demotes its batch-mates):
+17..64 distinct bytes take the mid-width tier (payload-in-key one-sort
+BWT + width-32/64 narrow Pallas MTF + 5/6-bit-packed rank download,
+_jitted_fused_step_ranks_mid — the BASELINE config-3 remainder-column
+path), and only >64 distinct bytes pay the generic bits==8 variant
+(width-256 Pallas MTF + device RLE2, 16-bit symbol download).
 
 With ``device_huffman`` the Huffman group costing (matmuls) and coded-
 data bit packing also run on device (4 cost/select rounds interleaved
@@ -249,6 +254,66 @@ def _jitted_fused_step_ranks4(n_max: int, pallas_mtf: bool = False, mesh=None):
         word = r8[..., 0]
         for k in range(1, 8):
             word = word | (r8[..., k] << (4 * k))
+        packed = jax.lax.bitcast_convert_type(word, jnp.int32)
+        return jnp.concatenate([ptrs[:, None], ties[:, None], packed], axis=1)
+
+    return jax.jit(_shard_step(step, mesh, 2, 1))
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_fused_step_ranks_mid(n_max: int, bits: int, pallas_mtf: bool = False, mesh=None):
+    """The bits==5/6 mid-width production step (17..64-symbol dense
+    alphabets, e.g. BED with id/score/strand remainder columns —
+    BASELINE config 3; reference remainder passthrough
+    starch3api.hpp:456-478): word-packed upload (30//bits symbols per
+    uint32 word) -> one-sort BWT with the payload riding in the last
+    key (ops/bwt_fast.bwt_sort_fast_mid, 23-24 symbols of context) ->
+    width-32/64 narrow Pallas MTF -> bit-packed rank download (30//bits
+    ranks per int32 word, i.e. 5-6 bits per input byte); RLE2 + Huffman
+    run in the native host tail exactly as in the bits==4 step.
+
+    Row format: [orig_ptr, ties, packed_ranks[n_words]] int32.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from starch3_tpu.ops.bwt_fast import bwt_sort_fast_mid
+
+    spw = 30 // bits  # symbols (and downloaded ranks) per uint32 word
+    mask = (1 << bits) - 1
+    n_words = (n_max + spw - 1) // spw
+    width = 32 if bits == 5 else 64
+
+    def step(words, lens):
+        b = words.shape[0]
+        w = jax.lax.bitcast_convert_type(words, jnp.uint32)
+        syms = jnp.stack(
+            [((w >> (bits * k)) & mask).astype(jnp.int32) for k in range(spw)],
+            axis=-1,
+        ).reshape(b, n_words * spw)[:, :n_max]
+        lasts, ptrs, ties = jax.vmap(
+            lambda s, n: bwt_sort_fast_mid(s, n, n_max, bits)
+        )(syms, lens)
+        if pallas_mtf:
+            from starch3_tpu.ops.mtf_narrow_pallas import mtf_ranks_narrow_batch
+
+            ranks = mtf_ranks_narrow_batch(lasts, n_max, width=width)
+        else:
+            from starch3_tpu.ops.mtf_jax import mtf_ranks_padded
+
+            ranks = jax.vmap(lambda s, n: mtf_ranks_padded(s, n, n_max))(
+                lasts, lens
+            )
+        # garbage ranks past each row's length must not leak into
+        # neighbouring fields of the packed download
+        idx = jnp.arange(n_max, dtype=jnp.int32)
+        ranks = jnp.where(idx[None, :] < lens[:, None], ranks, 0)
+        rp = jnp.concatenate(
+            [ranks, jnp.zeros((b, n_words * spw - n_max), jnp.int32)], axis=1
+        ).reshape(b, n_words, spw).astype(jnp.uint32)
+        word = rp[..., 0]
+        for k in range(1, spw):
+            word = word | (rp[..., k] << (bits * k))
         packed = jax.lax.bitcast_convert_type(word, jnp.int32)
         return jnp.concatenate([ptrs[:, None], ties[:, None], packed], axis=1)
 
@@ -485,6 +550,23 @@ def _unpack_results(out_d, lens, b, n_max):
 _N_MAX_BUCKETS = (16_384, 131_072, 458_752, N_MAX_BLOCK)
 
 
+def _bits_class(n_syms: int) -> int:
+    """Device-path alphabet class for a block with ``n_syms`` distinct
+    bytes.  Blocks are classified individually at feed time and batched
+    per class, so one wide block never demotes its batch-mates: 3-column
+    BED rides bits==4, config-3 remainder-column BED (typically ~21
+    symbols) rides bits==5, and only >64-symbol content pays the generic
+    bits==8 path (whose 16-symbol sort context would tie ~470x per block
+    on the config-3 corpus — see ops/bwt_fast.bwt_sort_fast_mid)."""
+    if n_syms <= 16:
+        return 4
+    if n_syms <= 32:
+        return 5
+    if n_syms <= 64:
+        return 6
+    return 8
+
+
 def _bucket_for(size: int) -> int:
     for b in _N_MAX_BUCKETS:
         if size <= b:
@@ -544,12 +626,88 @@ def encode_streams_feed(
     device_huffman: bool = False,
 ) -> list:  # list[codec.encoder.EncodedStream]
     """``encode_streams`` over a *stream* of texts: encoding begins while
-    later texts are still being produced (the caller's iterator runs on
-    this thread — typically the chunked native parser, api.py
-    ``_iter_parse_transform``), so the device and the stealer cores are
-    already encoding the first chromosomes while the parser is still
-    tokenizing the last ones.  Output bytes are identical to the list
-    form; only scheduling differs.
+    later texts are still being produced, so the device and the stealer
+    cores are already encoding the first chromosomes while the parser is
+    still tokenizing the last ones.  Output bytes are identical to the
+    list form; only scheduling differs."""
+    return list(
+        encode_streams_iter(
+            text_iter,
+            level=level,
+            mesh=mesh,
+            batch_size=batch_size,
+            device_rle2=device_rle2,
+            fast_bwt=fast_bwt,
+            host_assist=host_assist,
+            device_huffman=device_huffman,
+        )
+    )
+
+
+def _assemble_stream(blocks, results, si: int, level: int):
+    """Concatenate one stream's finished block fragments in block order
+    (deterministic: partitioning is input-derived, never topology- or
+    schedule-derived)."""
+    bw = BitWriter()
+    bw.write_bytes_msb(b"BZh")
+    bw.write(0x30 + level, 8)
+    combined = 0
+    offsets = []
+    crcs = []
+    for bi, blk in enumerate(blocks):
+        res = results[(si, bi)]
+        offsets.append(bw.bit_length)
+        crcs.append(blk.crc)
+        combined = combine_block_crc(combined, blk.crc)
+        if hasattr(res, "result"):  # tail-pool future -> fragment
+            res = res.result()
+        if isinstance(res, BitWriter):  # pre-built fragment
+            bw.append_writer(res)
+        elif len(res) == 4:  # device-RLE2: (used, ptr, symbols, freq)
+            in_use, ptr, syms, freq = res
+            write_block_from_device_syms(bw, blk.crc, ptr, syms, freq, in_use)
+        else:
+            in_use, ptr, ranks = res
+            write_block_from_ranks(bw, blk.crc, ptr, ranks, in_use)
+    bw.write(STREAM_END_MAGIC, 48)
+    bw.write(combined, 32)
+    from starch3_tpu.codec.encoder import EncodedStream
+
+    return EncodedStream(
+        data=bw.getvalue(),
+        block_bit_offsets=tuple(offsets),
+        block_crcs=tuple(crcs),
+        combined_crc=combined,
+    )
+
+
+def encode_streams_iter(
+    text_iter,
+    level: int = 9,
+    mesh=None,
+    batch_size: int = 3,
+    device_rle2: bool = False,
+    fast_bwt: bool = True,
+    host_assist: bool | None = None,
+    device_huffman: bool = False,
+    window_bytes: int = 256 << 20,
+):
+    """Incremental ``encode_streams``: a generator yielding each
+    stream's EncodedStream IN FEED ORDER as soon as all its blocks are
+    done, while later texts are still being fed and encoded.
+
+    This is the constant-memory form the streaming archive writer
+    (api.compress_bed_stream) consumes: the feeder runs on its own
+    thread and blocks when more than ``window_bytes`` of block data is
+    in flight (fed but not yet yielded), and a yielded stream's blocks
+    and fragments are released immediately — so a 10 GB corpus holds a
+    bounded window of work, yet the device queue never drains between
+    chromosomes (the round-3 streaming path flushed fixed windows
+    through separate encode_streams calls, idling the device during
+    every inter-window parse: the measured 35% streaming tax).
+
+    Output bytes are identical to ``encode_streams``; only scheduling
+    and memory behavior differ.
     """
     if fast_bwt:
         mode = "fast_huff" if device_huffman else "fast"
@@ -563,6 +721,7 @@ def encode_streams_feed(
     q = _BlockQueue()
     q.steal_holdback = batch_size
     q.device_low_water = batch_size * _PIPELINE_DEPTH
+    q.window_bytes = window_bytes
     results: dict[tuple[int, int], tuple] = {}
     errors: list[BaseException] = []
     stealers = _start_host_stealers(q, results, errors, host_assist)
@@ -580,56 +739,73 @@ def encode_streams_feed(
         daemon=True,
     )
     driver.start()
+
+    def run_feed():
+        try:
+            for text in text_iter:
+                q.feed(text, level)
+                if errors or q.cancelled:
+                    break
+        except BaseException as e:  # surfaced by the generator below
+            errors.append(e)
+        finally:
+            q.finish_feeding()
+
+    feeder = threading.Thread(target=run_feed, name="s3feed", daemon=True)
+    feeder.start()
+
+    next_si = 0
     try:
-        for text in text_iter:
-            q.feed(text, level)
-            if errors:
+        while True:
+            blocks = None
+            with q.cond:
+                while True:
+                    if errors:
+                        raise errors[0]
+                    if next_si < len(q.per_stream_blocks):
+                        cand = q.per_stream_blocks[next_si]
+                        # feed() appends a stream's blocks atomically,
+                        # so the block list is final once visible
+                        if all(
+                            (next_si, bi) in results
+                            for bi in range(len(cand))
+                        ):
+                            blocks = cand
+                            break
+                    elif not q.feeding:
+                        break
+                    q.cond.wait(0.05)
+            if blocks is None:
                 break
-    finally:
-        q.finish_feeding()
+            enc = _assemble_stream(blocks, results, next_si, level)
+            with q.cond:
+                # release the yielded stream's memory and open the
+                # feeder's backpressure window
+                q.per_stream_blocks[next_si] = None
+                q.inflight_bytes -= sum(len(b.data) for b in blocks)
+                for bi in range(len(blocks)):
+                    results.pop((next_si, bi), None)
+                q.cond.notify_all()
+            next_si += 1
+            yield enc
         driver.join()
         for t in stealers:
             t.join()
-    if errors:
-        raise errors[0]
-    per_stream_blocks = q.per_stream_blocks
-
-    streams = []
-    for si, blocks in enumerate(per_stream_blocks):
-        bw = BitWriter()
-        bw.write_bytes_msb(b"BZh")
-        bw.write(0x30 + level, 8)
-        combined = 0
-        offsets = []
-        crcs = []
-        for bi, blk in enumerate(blocks):
-            res = results[(si, bi)]
-            offsets.append(bw.bit_length)
-            crcs.append(blk.crc)
-            combined = combine_block_crc(combined, blk.crc)
-            if hasattr(res, "result"):  # tail-pool future -> fragment
-                res = res.result()
-            if isinstance(res, BitWriter):  # pre-built fragment
-                bw.append_writer(res)
-            elif len(res) == 4:  # device-RLE2: (used, ptr, symbols, freq)
-                in_use, ptr, syms, freq = res
-                write_block_from_device_syms(bw, blk.crc, ptr, syms, freq, in_use)
-            else:
-                in_use, ptr, ranks = res
-                write_block_from_ranks(bw, blk.crc, ptr, ranks, in_use)
-        bw.write(STREAM_END_MAGIC, 48)
-        bw.write(combined, 32)
-        from starch3_tpu.codec.encoder import EncodedStream
-
-        streams.append(
-            EncodedStream(
-                data=bw.getvalue(),
-                block_bit_offsets=tuple(offsets),
-                block_crcs=tuple(crcs),
-                combined_crc=combined,
-            )
-        )
-    return streams
+        feeder.join()
+        if errors:
+            raise errors[0]
+    finally:
+        # early close/error: unblock and stop the feeder, then drain the
+        # workers out before returning control (claimed work finishes
+        # harmlessly; results for yielded streams were already dropped)
+        with q.cond:
+            q.cancelled = True
+            q.cond.notify_all()
+        q.finish_feeding()
+        feeder.join()
+        driver.join()
+        for t in stealers:
+            t.join()
 
 
 import threading
@@ -659,7 +835,8 @@ class _BlockQueue:
         import collections
 
         self.cond = threading.Condition()
-        self.buckets: dict[int, "collections.deque"] = {}
+        # key: (geometry n_max, alphabet bits class)
+        self.buckets: dict[tuple[int, int], "collections.deque"] = {}
         self._deque = collections.deque
         self.per_stream_blocks: list[list] = []
         self.feeding = True
@@ -669,15 +846,60 @@ class _BlockQueue:
         self.device_claimed = 0
         self.device_low_water = 0
         self.steal_holdback = 0  # blocks stealers leave while gated
+        # incremental-assembly backpressure (encode_streams_iter):
+        # bytes of block data fed but not yet yielded; feed() blocks
+        # while over window_bytes (None = unbounded, the list forms)
+        self.window_bytes: int | None = None
+        self.inflight_bytes = 0
+        self.feed_blocked = False  # feeder parked on the window
+        self.cancelled = False
+
+    def active_feeding(self) -> bool:
+        """True while more blocks may arrive SOON.  A window-blocked
+        feeder cannot add blocks until a stream is yielded, so consumers
+        must treat that state like end-of-feed (take partial batches,
+        drop steal holdbacks) or the scheduler deadlocks: feeder waits
+        on the window, device waits for a full batch, stealers hold
+        back."""
+        return self.feeding and not self.feed_blocked
 
     def feed(self, text: bytes, level: int) -> None:
         blocks = rle1_split_blocks(text, level)
+        # per-block alphabet class, computed outside the lock: one
+        # bincount pass per block (~0.3 ms/900 kB) buys homogeneous
+        # batches — a single wide block no longer demotes its batch
+        classes = [
+            _bits_class(
+                int((np.bincount(
+                    np.frombuffer(blk.data, np.uint8), minlength=256
+                ) > 0).sum())
+            )
+            for blk in blocks
+        ]
+        total = sum(len(blk.data) for blk in blocks)
         with self.cond:
+            if self.window_bytes is not None:
+                # backpressure: keep a bounded window of undelivered
+                # work (never deadlocks: one stream may exceed the
+                # window alone when nothing else is in flight, and
+                # feed_blocked releases the workers' batch/holdback
+                # gates while we sleep)
+                while (
+                    not self.cancelled
+                    and self.inflight_bytes > 0
+                    and self.inflight_bytes + total > self.window_bytes
+                ):
+                    if not self.feed_blocked:
+                        self.feed_blocked = True
+                        self.cond.notify_all()
+                    self.cond.wait(0.05)
+                self.feed_blocked = False
+            self.inflight_bytes += total
             si = len(self.per_stream_blocks)
             self.per_stream_blocks.append(blocks)
             for bi, blk in enumerate(blocks):
-                nm = _bucket_for(len(blk.data))
-                self.buckets.setdefault(nm, self._deque()).append((si, bi))
+                key = (_bucket_for(len(blk.data)), classes[bi])
+                self.buckets.setdefault(key, self._deque()).append((si, bi))
             self.cond.notify_all()
 
     def finish_feeding(self) -> None:
@@ -713,7 +935,7 @@ def _start_host_stealers(q: _BlockQueue, results, errors, host_assist):
                         # beyond one buildable batch.
                         hold_back = (
                             q.steal_holdback
-                            if q.feeding
+                            if q.active_feeding()
                             and q.device_claimed < q.device_low_water
                             else 0
                         )
@@ -731,6 +953,8 @@ def _start_host_stealers(q: _BlockQueue, results, errors, host_assist):
                 results[(si, bi)] = encode_block_fragment(
                     q.per_stream_blocks[si][bi]
                 )
+                with q.cond:  # wake the incremental assembler
+                    q.cond.notify_all()
         except BaseException as e:  # surface in the caller
             errors.append(e)
 
@@ -764,10 +988,11 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                         remaining = len(dq)
                         if remaining <= 0:
                             continue
-                        if q.feeding and remaining < batch_size:
+                        if q.active_feeding() and remaining < batch_size:
                             # wait for a full batch while blocks are
                             # still arriving (partial batches would
-                            # waste padded device rows)
+                            # waste padded device rows; a window-blocked
+                            # feeder counts as not arriving)
                             continue
                         take = min(batch_size, remaining)
                         if (
@@ -813,6 +1038,8 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                 ):
                     nm0, item = pending.pop(0)
                     _drain_into(results, q.per_stream_blocks, item, nm0, mode)
+                    with q.cond:  # wake the incremental assembler
+                        q.cond.notify_all()
                 elif chunk is None:
                     import time as _time
 
@@ -820,6 +1047,8 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
         while pending:
             nm0, item = pending.pop(0)
             _drain_into(results, q.per_stream_blocks, item, nm0, mode)
+            with q.cond:
+                q.cond.notify_all()
     except BaseException as e:  # surface in the caller
         errors.append(e)
 
@@ -841,17 +1070,19 @@ def _batch_ready(out_d) -> bool:
 
 
 def _drain_into(results, per_stream_blocks, item, n_max, mode="ranks"):
+    if isinstance(n_max, tuple):  # queue bucket key: (geometry, bits class)
+        n_max = n_max[0]
     chunk, (out_d, aux) = item
     if mode == "fast_huff":
         return _drain_fast_huff(results, per_stream_blocks, chunk, out_d, aux, n_max)
-    if mode == "fast" and aux.get("bits") == 4 and "lens" in aux:
+    if mode == "fast" and aux.get("bits") in (4, 5, 6) and "lens" in aux:
         out = np.asarray(out_d)  # one transfer for the whole batch
         for i, ((si, bi), used) in enumerate(zip(chunk, aux["useds"])):
             if int(out[i, 1]) == 0:  # ties == 0
                 results[(si, bi)] = _tail_pool().submit(
                     _fragment_from_ranks_row,
                     out[i], used, per_stream_blocks[si][bi].crc,
-                    int(aux["lens"][i]),
+                    int(aux["lens"][i]), aux["bits"],
                 )
             else:
                 from starch3_tpu.codec.encoder import encode_block_fragment
@@ -1027,18 +1258,28 @@ def _tail_pool():
     return _TAIL_POOL
 
 
-def _fragment_from_ranks_row(row, used, crc, n):
-    """One block's bitstream fragment from a bits==4 result row:
-    [ptr, ties, nibble-packed ranks] (see _jitted_fused_step_ranks4).
-    RLE2 + Huffman + serialization run natively here (tail pool)."""
+def _fragment_from_ranks_row(row, used, crc, n, bits=4):
+    """One block's bitstream fragment from a packed-ranks result row:
+    [ptr, ties, packed ranks] — nibble-packed for bits==4
+    (_jitted_fused_step_ranks4), 30//bits ranks per word for bits 5/6
+    (_jitted_fused_step_ranks_mid).  RLE2 + Huffman + serialization run
+    natively here (tail pool)."""
     from starch3_tpu.codec.encoder import write_block_from_device_syms
     from starch3_tpu.codec.mtf import mtf_rle2_from_ranks
 
     ptr = int(row[0])
-    by = np.ascontiguousarray(row[2:], dtype="<i4").view(np.uint8)
-    ranks = np.empty(by.size * 2, dtype=np.uint8)
-    ranks[0::2] = by & 0xF
-    ranks[1::2] = by >> 4
+    if bits == 4:
+        by = np.ascontiguousarray(row[2:], dtype="<i4").view(np.uint8)
+        ranks = np.empty(by.size * 2, dtype=np.uint8)
+        ranks[0::2] = by & 0xF
+        ranks[1::2] = by >> 4
+    else:
+        spw = 30 // bits
+        mask = (1 << bits) - 1
+        packed = np.ascontiguousarray(row[2:], dtype="<i4").view(np.uint32)
+        ranks = np.empty(packed.size * spw, dtype=np.uint8)
+        for k in range(spw):
+            ranks[k::spw] = (packed >> (bits * k)) & mask
     mtf = mtf_rle2_from_ranks(ranks[:n], used)
     frag = BitWriter()
     write_block_from_device_syms(frag, crc, ptr, mtf.symbols, mtf.freq, used)
@@ -1080,6 +1321,11 @@ def jax_bz2_compress(data: bytes, config=None, mesh=None, n_max: int | None = No
 def _dispatch_chunk(block_datas, n_max, mesh, mode="ranks", pad_to=None):
     """Upload + launch one batch asynchronously; returns device handles.
 
+    ``n_max`` is either a geometry int (legacy callers: the batch's bit
+    width is then auto-detected batch-wide) or a ``(n_max, bits_class)``
+    bucket key from the queue, in which case the batch is homogeneous
+    and dispatches straight onto its class's compiled program.
+
     ``pad_to`` pads the batch axis to a fixed size so every dispatch in
     a run reuses ONE compiled program per (bucket, mode) — a partial
     final batch would otherwise compile a whole second geometry (minutes
@@ -1089,6 +1335,10 @@ def _dispatch_chunk(block_datas, n_max, mesh, mode="ranks", pad_to=None):
 
     from starch3_tpu.parallel.mesh import block_sharding, pad_batch
 
+    bits_class = None
+    if isinstance(n_max, tuple):
+        n_max, bits_class = n_max
+
     b = len(block_datas)
     n_dev = mesh.devices.size if mesh is not None else 1
     b_pad = pad_batch(max(b, pad_to or 0), n_dev)
@@ -1096,28 +1346,64 @@ def _dispatch_chunk(block_datas, n_max, mesh, mode="ranks", pad_to=None):
     batch = np.zeros((b_pad, n_max), dtype=np.uint8)
     pallas_mtf = _use_pallas_mtf(mesh)
 
-    if mode in ("fast", "fast_huff"):
-        from starch3_tpu.runtime import dense_pack4_native
+    if mode == "fast" and bits_class in (5, 6):
+        # mid-width tier: dense remap + word pack (30//bits symbols per
+        # uint32), native single pass with a NumPy fallback
+        from starch3_tpu.runtime import dense_pack_words_native
 
-        nsyms = np.ones(b_pad, dtype=np.int32)
+        spw = 30 // bits_class
+        n_words = (n_max + spw - 1) // spw
+        words = np.zeros((b_pad, n_words), dtype=np.uint32)
         useds = []
-        # optimistic bits==4 prologue: one native pass per block does the
-        # dense remap AND the 2-symbols-per-byte upload pack (upload is
-        # the other half of the tunnel bill); falls back to the NumPy
-        # chain for >16-symbol alphabets or without the native lib
-        packed = np.zeros((b_pad, n_max // 2), dtype=np.uint8)
-        bits = 4
         for i, data in enumerate(block_datas):
             arr = np.frombuffer(data, dtype=np.uint8)
             if arr.size > n_max:
                 raise ValueError(f"block {i} exceeds n_max ({arr.size} > {n_max})")
             lens[i] = arr.size
-            res = dense_pack4_native(arr, packed[i])
-            if res is None or res[0] > 16:
-                bits = 0  # decide below on the generic path
-                break
-            nsyms[i] = res[0]
-            useds.append(res[1])
+            res = dense_pack_words_native(arr, bits_class, words[i])
+            if res is None:
+                used = np.bincount(arr, minlength=256) > 0
+                syms = (np.cumsum(used) - 1).astype(np.uint32)[arr]
+                syms.resize(n_words * spw)
+                sp = syms.reshape(n_words, spw)
+                w = sp[:, 0].copy()
+                for k in range(1, spw):
+                    w |= sp[:, k] << (bits_class * k)
+                words[i] = w
+                useds.append(used)
+            else:
+                useds.append(res[1])
+        arrays = _put_batch((words.view(np.int32), lens), mesh)
+        out_d = _jitted_fused_step_ranks_mid(
+            n_max, bits_class, pallas_mtf, mesh
+        )(*arrays)
+        _copy_to_host_async(out_d)
+        return out_d, {"b": b, "useds": useds, "bits": bits_class, "lens": lens}
+
+    if mode in ("fast", "fast_huff"):
+        from starch3_tpu.runtime import dense_pack4_native
+
+        nsyms = np.ones(b_pad, dtype=np.int32)
+        useds = []
+        # bits==4 prologue (optimistic when the class is unknown): one
+        # native pass per block does the dense remap AND the
+        # 2-symbols-per-byte upload pack (upload is the other half of
+        # the tunnel bill); falls back to the NumPy chain for
+        # >16-symbol alphabets or without the native lib
+        bits = 4 if bits_class in (None, 4) else 0
+        if bits == 4:
+            packed = np.zeros((b_pad, n_max // 2), dtype=np.uint8)
+            for i, data in enumerate(block_datas):
+                arr = np.frombuffer(data, dtype=np.uint8)
+                if arr.size > n_max:
+                    raise ValueError(f"block {i} exceeds n_max ({arr.size} > {n_max})")
+                lens[i] = arr.size
+                res = dense_pack4_native(arr, packed[i])
+                if res is None or res[0] > 16:
+                    bits = 0  # decide below on the generic path
+                    break
+                nsyms[i] = res[0]
+                useds.append(res[1])
         if bits == 4:
             batch = packed
         else:

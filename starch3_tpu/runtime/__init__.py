@@ -146,6 +146,11 @@ def get_lib():
         lib.s3_dense_pack4.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.s3_dense_pack_words.restype = ctypes.c_int32
+        lib.s3_dense_pack_words.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.s3_read_block_symbols.restype = ctypes.c_int64
         lib.s3_read_block_symbols.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -581,6 +586,25 @@ def dense_pack4_native(arr: np.ndarray, out_row: np.ndarray):
     used = np.zeros(256, dtype=np.uint8)
     n_in_use = lib.s3_dense_pack4(
         arr.ctypes.data, arr.size, out_row.ctypes.data, used.ctypes.data
+    )
+    return int(n_in_use), used.astype(bool)
+
+
+def dense_pack_words_native(arr: np.ndarray, bits: int, out_words: np.ndarray):
+    """Dense-remap + word-pack one block for the mid-width upload format
+    (runtime.cpp s3_dense_pack_words): 30//bits symbols per uint32, low
+    bits first.  Returns (n_in_use, used bool[256]) — the packed row is
+    only valid when n_in_use <= 1 << bits — or None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    spw = 30 // bits
+    assert arr.dtype == np.uint8 and out_words.dtype == np.uint32
+    assert out_words.flags.c_contiguous
+    assert out_words.size >= (arr.size + spw - 1) // spw
+    used = np.zeros(256, dtype=np.uint8)
+    n_in_use = lib.s3_dense_pack_words(
+        arr.ctypes.data, arr.size, bits, out_words.ctypes.data, used.ctypes.data
     )
     return int(n_in_use), used.astype(bool)
 

@@ -294,6 +294,34 @@ int32_t s3_dense_pack4(const uint8_t* in, int64_t n, uint8_t* out,
     return n_in_use;
 }
 
+// Dense-remap a block's bytes onto its used alphabet and pack
+// 30/bits symbols per uint32 word at ``bits`` bits each, low bits
+// first (the mid-width device upload format for 17..64-symbol
+// alphabets, parallel/pipeline._dispatch_chunk: bits 5 -> 6
+// symbols/word, bits 6 -> 5).  Writes the 256-entry used map; returns
+// n_in_use (the packed output is only valid when n_in_use <= 1<<bits).
+int32_t s3_dense_pack_words(const uint8_t* in, int64_t n, int32_t bits,
+                            uint32_t* out, uint8_t* used) {
+    uint8_t map[256];
+    for (int i = 0; i < 256; i++) used[i] = 0;
+    for (int64_t i = 0; i < n; i++) used[in[i]] = 1;
+    int32_t n_in_use = 0;
+    for (int i = 0; i < 256; i++)
+        if (used[i]) map[i] = (uint8_t)n_in_use++;
+    if (n_in_use > (1 << bits)) return n_in_use;
+    const int32_t spw = 30 / bits;
+    const int64_t n_words = (n + spw - 1) / spw;
+    for (int64_t w = 0; w < n_words; w++) {
+        uint32_t v = 0;
+        const int64_t base = w * spw;
+        const int k_end = (int)((base + spw <= n) ? spw : (n - base));
+        for (int k = 0; k < k_end; k++)
+            v |= (uint32_t)map[in[base + k]] << (bits * k);
+        out[w] = v;
+    }
+    return n_in_use;
+}
+
 // Batched Huffman length construction for the device-Huffman drain
 // (parallel/pipeline._drain_fast_huff): one call covers every
 // (block, table) pair of a refinement iteration — the per-pair ctypes

@@ -236,6 +236,123 @@ class TestBwtFast3:
         assert outs[0] == outs[1]
 
 
+class TestBwtFastMid:
+    """ops/bwt_fast.bwt_sort_fast_mid: the bits==5/6 mid-width tier
+    (17..64-symbol alphabets — BASELINE config 3's remainder-column
+    class)."""
+
+    @pytest.mark.parametrize(
+        "bits,sigma", [(5, 17), (5, 21), (5, 32), (6, 33), (6, 45), (6, 64)]
+    )
+    def test_matches_oracle_when_tie_free(self, rng, bits, sigma):
+        import jax.numpy as jnp
+
+        from starch3_tpu.ops.bwt_fast import bwt_sort_fast_mid
+
+        n = 3000
+        seq = rng.integers(0, sigma, n).astype(np.int32)
+        pad = np.zeros(4096, np.int32)
+        pad[:n] = seq
+        last, ptr, ties = bwt_sort_fast_mid(
+            jnp.asarray(pad), jnp.int32(n), 4096, bits
+        )
+        assert int(ties) == 0  # random text at these sigmas never ties
+        l1, p1 = bwt_encode(seq.astype(np.uint8))
+        assert np.asarray(last)[:n].tolist() == l1.tolist()
+        assert int(ptr) == p1
+
+    @pytest.mark.parametrize("bits", [5, 6])
+    def test_periodic_reports_ties(self, rng, bits):
+        import jax.numpy as jnp
+
+        from starch3_tpu.ops.bwt_fast import bwt_sort_fast_mid
+
+        pat = rng.integers(0, (1 << bits), 9).astype(np.int32)
+        dense = np.tile(pat, 60)
+        pad = np.zeros(1024, np.int32)
+        pad[: dense.size] = dense
+        _, _, ties = bwt_sort_fast_mid(
+            jnp.asarray(pad), jnp.int32(dense.size), 1024, bits
+        )
+        assert int(ties) > 0
+
+    def test_config3_style_text_tie_free_and_exact(self, rng):
+        """Transformed BED with id/score/strand remainders (a ~21-symbol
+        alphabet): the 23-symbol context must be tie-free and exact —
+        the property the whole mid tier's throughput rides on."""
+        import jax.numpy as jnp
+
+        from starch3_tpu.api import _parse_transform
+        from starch3_tpu.codec.mtf import symbol_map
+        from starch3_tpu.ops.bwt_fast import bwt_sort_fast_mid
+
+        lines = []
+        pos = 1000
+        for i in range(3000):
+            pos += int(rng.integers(1, 800))
+            end = pos + int(rng.integers(20, 400))
+            lines.append(
+                b"chr5\t%d\t%d\tpeak_%d\t%d\t%s"
+                % (pos, end, i, int(rng.integers(0, 1000)),
+                   b"+" if i % 2 else b"-")
+            )
+        text = _parse_transform(b"\n".join(lines) + b"\n")[0].text
+        blk = np.frombuffer(text, dtype=np.uint8)
+        _, u2s, n_in = symbol_map(blk)
+        assert 16 < n_in <= 32
+        seq = u2s[blk].astype(np.int32)
+        n = seq.size
+        n_max = 1 << (n - 1).bit_length()
+        pad = np.zeros(n_max, np.int32)
+        pad[:n] = seq
+        last, ptr, ties = bwt_sort_fast_mid(
+            jnp.asarray(pad), jnp.int32(n), n_max, 5
+        )
+        assert int(ties) == 0
+        l1, p1 = bwt_encode(blk)
+        assert np.asarray(last)[:n].tolist() == u2s[l1].tolist()
+        assert int(ptr) == p1
+
+    @pytest.mark.parametrize("bits", [5, 6])
+    def test_padding_is_inert(self, rng, bits):
+        import jax.numpy as jnp
+
+        from starch3_tpu.ops.bwt_fast import bwt_sort_fast_mid
+
+        seq = rng.integers(0, (1 << bits), 700).astype(np.int32)
+        outs = []
+        for n_max in (1024, 2048):
+            padded = np.full(n_max, (1 << bits) - 1, dtype=np.int32)
+            padded[:700] = seq
+            last, ptr, ties = bwt_sort_fast_mid(
+                jnp.asarray(padded), jnp.int32(700), n_max, bits
+            )
+            outs.append((np.asarray(last)[:700].tolist(), int(ptr), int(ties)))
+        assert outs[0] == outs[1]
+
+
+class TestMtfNarrowWidths:
+    """The width-32/64 variants of the narrow Pallas MTF kernel (the
+    bits==5/6 mid tier) vs the NumPy oracle."""
+
+    @pytest.mark.parametrize("width", [32, 64])
+    def test_matches_oracle(self, rng, width):
+        import jax
+        import jax.numpy as jnp
+
+        from starch3_tpu.ops.mtf_narrow_pallas import mtf_ranks_narrow_batch
+
+        n_max = 8192
+        seqs = rng.integers(0, width, (2, n_max)).astype(np.int32)
+        seqs[0, 7] = width - 1  # rare symbol: recency carry across tiles
+        interp = jax.default_backend() != "tpu"
+        out = np.asarray(
+            mtf_ranks_narrow_batch(jnp.asarray(seqs), n_max, interp, width)
+        )
+        for i in range(2):
+            assert out[i].tolist() == mtf_ranks(seqs[i], width).tolist()
+
+
 class TestTransformJax:
     def test_core_matches_host(self, rng):
         import jax.numpy as jnp

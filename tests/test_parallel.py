@@ -5,6 +5,7 @@ implement SURVEY.md §4's "archive bytes independent of host count".
 """
 
 import numpy as np
+import pytest
 
 from starch3_tpu.api import compress_bed_bytes, decompress_starch_bytes
 from starch3_tpu.bed.parser import parse_bed
@@ -131,6 +132,66 @@ class TestDeviceRle2Pipeline:
         assert a == compress_bed_bytes(bed, EncodeConfig(use_jax=False))
         assert decompress_starch_bytes(a) == bed
 
+    def test_alphabet_class_routing_bit_exact(self, rng):
+        """Blocks of every alphabet class (<=16, 17..32, 33..64, >64
+        distinct bytes) — including mixed classes inside one call and
+        one stream whose blocks straddle classes — route per-block to
+        their own device tier (pipeline._bits_class) and come out
+        bit-identical to libbz2."""
+        import bz2
+
+        from starch3_tpu.parallel.pipeline import encode_streams
+
+        al21 = np.frombuffer(b"0123456789pek_a+-\t\nXY", np.uint8)
+        al45 = np.arange(48, 93, dtype=np.uint8)
+        texts = [
+            b"".join(
+                b"%d\t%d\n" % (a, b)
+                for a, b in rng.integers(0, 10**6, (2000, 2)).tolist()
+            ),
+            al21[rng.integers(0, al21.size, 90_000)].tobytes(),
+            al45[rng.integers(0, 45, 90_000)].tobytes(),
+            rng.integers(0, 200, 60_000, dtype=np.uint8).tobytes(),
+            # multi-block stream spanning the mid class
+            al21[rng.integers(0, al21.size, 1_100_000)].tobytes(),
+        ]
+        for host_assist in (False, None):
+            streams = encode_streams(texts, host_assist=host_assist)
+            for i, (t, s) in enumerate(zip(texts, streams)):
+                assert s.data == bz2.compress(t, 9), (host_assist, i)
+
+    def test_config3_remainder_columns_end_to_end(self, rng):
+        """BASELINE config 3 (id/score/strand remainder columns): the
+        use_jax archive equals the host archive byte-for-byte and
+        round-trips; the transformed text lands in the 17..32-symbol
+        class, i.e. the bits==5 tier actually runs."""
+        from starch3_tpu.api import (
+            _parse_transform,
+            compress_bed_bytes,
+            decompress_starch_bytes,
+        )
+        from starch3_tpu.config import EncodeConfig
+        from starch3_tpu.parallel.pipeline import _bits_class
+
+        lines = []
+        for c in (3, 7):
+            pos = 500
+            for i in range(4000):
+                pos += int(rng.integers(1, 900))
+                end = pos + int(rng.integers(20, 400))
+                lines.append(
+                    b"chr%d\t%d\t%d\tpeak_%d\t%d\t%s"
+                    % (c, pos, end, i, int(rng.integers(0, 1000)),
+                       b"+" if i % 2 else b"-")
+                )
+        bed = b"\n".join(lines) + b"\n"
+        tf = _parse_transform(bed)
+        n_syms = len(set(tf[0].text))
+        assert _bits_class(n_syms) == 5
+        a = compress_bed_bytes(bed, EncodeConfig(use_jax=True))
+        assert a == compress_bed_bytes(bed, EncodeConfig(use_jax=False))
+        assert decompress_starch_bytes(a) == bed
+
     def test_device_huffman_byte_identical(self, rng):
         """use_jax + device_huffman: Huffman group costing (cost/select
         matmuls) and coded-data bit packing run on device; only the
@@ -234,6 +295,64 @@ class TestStreamingFeed:
 
         got = encode_streams_feed(slow_iter())
         assert [g.data for g in got] == [w.data for w in want]
+
+    def test_iter_yields_incrementally_with_bounded_window(self, rng):
+        """encode_streams_iter yields stream k before the feeder has
+        produced the last streams (incremental assembly), releases
+        yielded streams' memory, respects the backpressure window, and
+        matches encode_streams byte-for-byte."""
+        import bz2
+
+        from starch3_tpu.parallel.pipeline import encode_streams_iter
+
+        texts = [
+            bytes(rng.integers(0, 16, 30_000, dtype=np.uint8))
+            for _ in range(8)
+        ]
+        fed = []
+
+        def gen():
+            for t in texts:
+                fed.append(len(fed))
+                yield t
+
+        yielded_at = []
+        out = []
+        # window smaller than the corpus: the feeder must block and
+        # resume as streams are yielded
+        for enc in encode_streams_iter(iter(gen()), window_bytes=70_000):
+            yielded_at.append(len(fed))
+            out.append(enc.data)
+        assert out == [bz2.compress(t, 9) for t in texts]
+        # at least one early stream was yielded before feeding finished
+        assert yielded_at[0] < len(texts)
+
+    def test_iter_feeder_error_propagates(self, rng):
+        from starch3_tpu.parallel.pipeline import encode_streams_iter
+
+        class Boom(RuntimeError):
+            pass
+
+        def gen():
+            yield bytes(rng.integers(0, 16, 10_000, dtype=np.uint8))
+            raise Boom("feeder died")
+
+        with pytest.raises(Boom):
+            list(encode_streams_iter(gen()))
+
+    def test_iter_early_close_releases_workers(self, rng):
+        """Abandoning the generator mid-iteration must not leave the
+        scheduler wedged (cancel path: feeder unblocked, workers
+        drained)."""
+        from starch3_tpu.parallel.pipeline import encode_streams_iter
+
+        texts = [
+            bytes(rng.integers(0, 16, 20_000, dtype=np.uint8))
+            for _ in range(6)
+        ]
+        it = encode_streams_iter(iter(texts), window_bytes=50_000)
+        next(it)
+        it.close()  # GeneratorExit -> finally: cancel + join
 
     def test_feed_partial_batches_device_only(self, rng):
         """5 blocks with batch_size 3: the final partial batch is padded

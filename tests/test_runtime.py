@@ -89,6 +89,35 @@ class TestNativePackBits:
         assert a == b
 
 
+class TestNativeDensePackWords:
+    """s3_dense_pack_words: the mid-width upload pack (30//bits symbols
+    per uint32 word) vs a NumPy reconstruction."""
+
+    @pytest.mark.parametrize("bits,nsym", [(5, 17), (5, 32), (6, 33), (6, 64)])
+    def test_roundtrip(self, rng, bits, nsym):
+        spw = 30 // bits
+        alpha = rng.choice(256, nsym, replace=False).astype(np.uint8)
+        arr = alpha[rng.integers(0, nsym, 10_001)]
+        n_words = (arr.size + spw - 1) // spw
+        words = np.zeros(n_words, dtype=np.uint32)
+        n_in_use, used = runtime.dense_pack_words_native(arr, bits, words)
+        assert n_in_use == nsym
+        assert used.tolist() == (np.bincount(arr, minlength=256) > 0).tolist()
+        # unpack and compare to the dense remap
+        u2s = (np.cumsum(used) - 1).astype(np.uint32)
+        mask = (1 << bits) - 1
+        syms = np.empty(n_words * spw, dtype=np.uint32)
+        for k in range(spw):
+            syms[k::spw] = (words >> (bits * k)) & mask
+        assert syms[: arr.size].tolist() == u2s[arr].tolist()
+
+    def test_overwide_alphabet_reports_count(self, rng):
+        arr = np.arange(80, dtype=np.uint8).repeat(3)
+        words = np.zeros(100, dtype=np.uint32)
+        n_in_use, _used = runtime.dense_pack_words_native(arr, 6, words)
+        assert n_in_use == 80  # > 1<<6: packed output invalid by contract
+
+
 class TestNativeDecoder:
     def test_roundtrip_libbz2(self, rng):
         data = rng.integers(0, 200, 150_000, dtype=np.uint8).tobytes()
