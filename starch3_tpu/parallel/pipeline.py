@@ -550,6 +550,24 @@ def _unpack_results(out_d, lens, b, n_max):
 _N_MAX_BUCKETS = (16_384, 131_072, 458_752, N_MAX_BLOCK)
 
 
+def _split_classify(text: bytes, level: int):
+    """RLE1-segment one stream and classify each block's alphabet: one
+    bincount pass per block (~2 ms/900 kB incl. the split) buys
+    homogeneous batches — a single wide block no longer demotes its
+    batch.  Pure function of the text: safe on the feed prefetch pool
+    (the native split and CRC release the GIL)."""
+    blocks = rle1_split_blocks(text, level)
+    classes = [
+        _bits_class(
+            int((np.bincount(
+                np.frombuffer(blk.data, np.uint8), minlength=256
+            ) > 0).sum())
+        )
+        for blk in blocks
+    ]
+    return blocks, classes
+
+
 def _bits_class(n_syms: int) -> int:
     """Device-path alphabet class for a block with ``n_syms`` distinct
     bytes.  Blocks are classified individually at feed time and batched
@@ -741,11 +759,37 @@ def encode_streams_iter(
     driver.start()
 
     def run_feed():
+        """Feeder: the caller's iterator (typically the parser) runs
+        serially here, but RLE1 segmentation + alphabet classing — the
+        serial-feed bottleneck the orchestration-ceiling harness
+        exposes (benchmarks/orchestration_ceiling.py) — run on a
+        bounded prefetch pool, in order.  The split natives release the
+        GIL, so feed throughput scales with cores on big hosts."""
+        import collections
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        width = max(2, min(8, os.cpu_count() or 2))
         try:
-            for text in text_iter:
-                q.feed(text, level)
-                if errors or q.cancelled:
-                    break
+            with ThreadPoolExecutor(
+                width, thread_name_prefix="s3split"
+            ) as ex:
+                futs: collections.deque = collections.deque()
+                it = iter(text_iter)
+                exhausted = False
+                while True:
+                    while not exhausted and len(futs) < width + 2:
+                        try:
+                            text = next(it)
+                        except StopIteration:
+                            exhausted = True
+                            break
+                        futs.append(ex.submit(_split_classify, text, level))
+                    if not futs:
+                        break
+                    q.feed_blocks(*futs.popleft().result())
+                    if errors or q.cancelled:
+                        break
         except BaseException as e:  # surfaced by the generator below
             errors.append(e)
         finally:
@@ -864,18 +908,9 @@ class _BlockQueue:
         return self.feeding and not self.feed_blocked
 
     def feed(self, text: bytes, level: int) -> None:
-        blocks = rle1_split_blocks(text, level)
-        # per-block alphabet class, computed outside the lock: one
-        # bincount pass per block (~0.3 ms/900 kB) buys homogeneous
-        # batches — a single wide block no longer demotes its batch
-        classes = [
-            _bits_class(
-                int((np.bincount(
-                    np.frombuffer(blk.data, np.uint8), minlength=256
-                ) > 0).sum())
-            )
-            for blk in blocks
-        ]
+        self.feed_blocks(*_split_classify(text, level))
+
+    def feed_blocks(self, blocks: list, classes: list[int]) -> None:
         total = sum(len(blk.data) for blk in blocks)
         with self.cond:
             if self.window_bytes is not None:

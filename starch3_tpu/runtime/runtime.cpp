@@ -456,6 +456,50 @@ int64_t s3_rle1_split(const uint8_t* in, int64_t n, int32_t level,
 
     int64_t i = 0;
     while (i < n) {
+        // Fast path for the dominant shape (BED text: runs are rare):
+        // 8 adjacent-distinct bytes are 8 length-1 runs, whose combined
+        // effect is "flush incoming pending, emit 7 bytes verbatim,
+        // leave the 8th pending" — one XOR-haszero probe + a memcpy
+        // instead of 8 state-machine iterations.  Disabled within 16
+        // output bytes of a block close so the per-run close checks of
+        // the slow path below stay authoritative (their margin: the
+        // flush adds <= 5 bytes, the emits 7).
+        while (i + 8 < n && (o - block_start) < nblock_max - 16 &&
+               o + 12 <= out_cap) {
+            uint64_t w, w2;
+            memcpy(&w, in + i, 8);
+            memcpy(&w2, in + i + 1, 8);
+            uint64_t x = w ^ w2;  // zero byte k <=> in[i+k] == in[i+k+1]
+            uint64_t z = (x - 0x0101010101010101ULL) & ~x &
+                         0x8080808080808080ULL;
+            if (z == 0) {
+                if (!flush_pending()) return -1;
+                memcpy(out_buf + o, in + i, 7);
+                o += 7;
+                pend_ch = in[i + 7];
+                pend_len = 1;
+                consumed += 8;
+                i += 8;
+                continue;
+            }
+            // singles up to the first adjacent pair, then the slow path
+            // takes the run that starts there
+#if defined(__GNUC__) || defined(__clang__)
+            int k = __builtin_ctzll(z) >> 3;
+#else
+            int k = 0;
+            while (!(z & (0xFFULL << (8 * k)))) k++;
+#endif
+            if (k == 0) break;  // a run starts right here
+            if (!flush_pending()) return -1;
+            memcpy(out_buf + o, in + i, (size_t)(k - 1));
+            o += k - 1;
+            pend_ch = in[i + k - 1];
+            pend_len = 1;
+            consumed += k;
+            i += k;
+        }
+        if (i >= n) break;
         uint8_t c = in[i];
         int64_t j = i + 1;
         while (j < n && in[j] == c) j++;
