@@ -302,6 +302,18 @@ def main(argv: list[str] | None = None) -> int:
                 opts["output"], lambda f: compress_bed_file(opts["input"], f, config)
             )
             return 0
+        if opts["decode"] and opts["jax"]:
+            # Device decode exists (api.decompress_starch_bytes(use_jax=True))
+            # but is measured far slower than the block-parallel native
+            # decoder (docs/PERF.md "device decode"); the CLI always takes
+            # the fast path and says so rather than silently degrading.
+            print(
+                "starch3: note: --jax applies to encode; decode uses the "
+                "native block-parallel path (faster on all measured "
+                "hardware)",
+                file=sys.stderr,
+            )
+            opts["jax"] = False
         if (
             opts["decode"]
             and not opts["chrom"]

@@ -71,6 +71,16 @@ class TestCli:
         r = run(["--decode", str(out)])
         assert r.stdout == bed
 
+    def test_decode_jax_routes_native(self, rng):
+        # --jax on decode must not silently route onto the (measured ~35x
+        # slower) device decode: the CLI notes it on stderr and uses the
+        # native block-parallel path (docs/PERF.md "device decode")
+        bed = make_bed_text(rng, n=300)
+        r = run([], input_=bed)
+        r2 = run(["--decode", "--jax"], input_=r.stdout)
+        assert r2.stdout == bed
+        assert b"native block-parallel" in r2.stderr
+
     def test_gzip_flag(self, rng):
         bed = make_bed_text(rng, n=300)
         r = run(["--gzip"], input_=bed)
