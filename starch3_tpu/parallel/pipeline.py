@@ -65,10 +65,26 @@ def _use_pallas_mtf(mesh) -> bool:
     on CPU, where the kernel would need interpret mode).  Under a mesh
     the device steps are wrapped in jax.shard_map (``_shard_step``), so
     each chip runs the kernel on its local batch shard — the SPMD
-    partitioner never has to split a pallas_call."""
+    partitioner never has to split a pallas_call.
+
+    STARCH3_TPU_FORCE_PALLAS=1 forces the kernels on regardless of
+    backend (interpret mode off-TPU) — the test hook that lets the fast
+    suite execute Pallas inside shard_map on the virtual 8-device mesh,
+    the one multi-device combination real hardware here can't run."""
+    import os
+
     import jax
 
+    if os.environ.get("STARCH3_TPU_FORCE_PALLAS") == "1":
+        return True
     return jax.default_backend() == "tpu"
+
+
+def _pallas_interpret() -> bool:
+    """Interpret-mode Pallas anywhere the Mosaic compiler isn't (CPU)."""
+    import jax
+
+    return jax.default_backend() != "tpu"
 
 
 def _shard_step(step, mesh, n_in: int, n_out: int):
@@ -129,7 +145,7 @@ def _batch_ranks(seqs, lens, n_max, pallas_mtf, width=256):
     if pallas_mtf:
         from starch3_tpu.ops.mtf_pallas import mtf_ranks_pallas_batch
 
-        ranks = mtf_ranks_pallas_batch(seqs, n_max, width)
+        ranks = mtf_ranks_pallas_batch(seqs, n_max, width, _pallas_interpret())
         idx = jnp.arange(n_max, dtype=jnp.int32)
         return jnp.where(idx[None, :] < lens[:, None], ranks, 0)
     return jax.vmap(lambda s, n: mtf_ranks_padded(s, n, n_max))(seqs, lens)
@@ -239,7 +255,7 @@ def _jitted_fused_step_ranks4(n_max: int, pallas_mtf: bool = False, mesh=None):
         if pallas_mtf:
             from starch3_tpu.ops.mtf_narrow_pallas import mtf_ranks_narrow_batch
 
-            ranks = mtf_ranks_narrow_batch(lasts, n_max)
+            ranks = mtf_ranks_narrow_batch(lasts, n_max, _pallas_interpret())
         else:
             from starch3_tpu.ops.mtf_jax import mtf_ranks_padded
 
@@ -297,7 +313,9 @@ def _jitted_fused_step_ranks_mid(n_max: int, bits: int, pallas_mtf: bool = False
         if pallas_mtf:
             from starch3_tpu.ops.mtf_narrow_pallas import mtf_ranks_narrow_batch
 
-            ranks = mtf_ranks_narrow_batch(lasts, n_max, width=width)
+            ranks = mtf_ranks_narrow_batch(
+                lasts, n_max, _pallas_interpret(), width=width
+            )
         else:
             from starch3_tpu.ops.mtf_jax import mtf_ranks_padded
 

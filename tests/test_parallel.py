@@ -219,6 +219,33 @@ class TestDeviceRle2Pipeline:
         assert decompress_starch_bytes(a) == bed
 
 
+class TestPallasInterpretShardMap:
+    def test_pallas_interpret_under_shard_map_8dev(self, rng, monkeypatch):
+        """Real Pallas kernels (interpret mode off-TPU) execute inside
+        jax.shard_map on the virtual 8-device mesh — the one multi-device
+        combination a single-chip box can't otherwise run (round-3
+        verdict item 5).  STARCH3_TPU_FORCE_PALLAS=1 overrides the
+        backend gate (pipeline._use_pallas_mtf); archives must be
+        byte-identical to libbz2 for both the bits==4 narrow tier and
+        the bits==5 mid tier."""
+        import bz2
+
+        from starch3_tpu.parallel.pipeline import _use_pallas_mtf, encode_streams
+
+        monkeypatch.setenv("STARCH3_TPU_FORCE_PALLAS", "1")
+        assert _use_pallas_mtf(None)
+        al14 = np.frombuffer(b"0123456789p-\t\n", np.uint8)
+        al21 = np.frombuffer(b"0123456789pek_a+-\t\nXY", np.uint8)
+        texts = [
+            al14[rng.integers(0, al14.size, 9000)].tobytes() for _ in range(9)
+        ]
+        texts.append(al21[rng.integers(0, al21.size, 9000)].tobytes())
+        mesh = make_block_mesh()
+        streams = encode_streams(texts, mesh=mesh, host_assist=False)
+        for i, (t, s) in enumerate(zip(texts, streams)):
+            assert s.data == bz2.compress(t, 9), i
+
+
 class TestDeviceDecode:
     """parallel/pipeline.decode_streams: the device decode mirror."""
 
