@@ -447,6 +447,23 @@ def _emit_w_cap(n_max: int) -> int:
     return (n_max + 2) // 6 + 64
 
 
+@functools.lru_cache(maxsize=64)
+def _jitted_batch_head(nw: int):
+    """First ``nw`` columns of a 2-D device array, on device — so the
+    host download is the occupied prefix, not the padded capacity.  The
+    emit words cap is ~5.3 bits/symbol (~601 kB/row at 901k) while real
+    coded data is ~25-80 kB/row: fetching full rows made the download
+    ~10x the useful bytes.  ``nw`` is bucketed by the callers so the
+    number of distinct compiled slicers stays small."""
+    import jax
+
+    return jax.jit(lambda arr: jax.lax.slice_in_dim(arr, 0, nw, axis=1))
+
+
+def _dl_bucket(n: int, cap: int, granularity: int = 8192) -> int:
+    return min(cap, ((max(n, 1) + granularity - 1) // granularity) * granularity)
+
+
 @functools.lru_cache(maxsize=8)
 def _jitted_emit_coded(n_max: int):
     import jax
@@ -1067,13 +1084,29 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                 datas = [
                     q.per_stream_blocks[si][bi].data for si, bi in chunk
                 ]
+                # single-block corpora (BASELINE config 1: one small
+                # chromosome = one block) get a b=1 geometry: padding to
+                # batch_size would triple the upload, compute, AND
+                # download of the only dispatch in the run.  Gated to
+                # exactly-one-block corpora so multi-batch runs never
+                # trip a second compiled geometry mid-stream.
+                pad = batch_size
+                if len(chunk) == 1 and not q.feeding:
+                    with q.cond:
+                        total = sum(
+                            len(bs)
+                            for bs in q.per_stream_blocks
+                            if bs is not None
+                        )
+                    if total == 1:
+                        pad = 1
                 pending.append(
                     (
                         this_nm,
                         (
                             chunk,
                             _dispatch_chunk(
-                                datas, this_nm, mesh, mode, pad_to=batch_size
+                                datas, this_nm, mesh, mode, pad_to=pad
                             ),
                         ),
                     )
@@ -1127,7 +1160,41 @@ def _drain_into(results, per_stream_blocks, item, n_max, mode="ranks"):
         n_max = n_max[0]
     chunk, (out_d, aux) = item
     if mode == "fast_huff":
-        return _drain_fast_huff(results, per_stream_blocks, chunk, out_d, aux, n_max)
+        # Asynchronous drain: the fast_huff finisher makes 4 cost/select
+        # device round trips plus the emit (host heap refinement between
+        # each), so running it inline would serialize batch k's
+        # refinement with batch k+2's dispatch.  Instead the finisher
+        # runs on its own thread — its host-side waits (rfreq download,
+        # native heaps) overlap the driver's next sort/MTF dispatch —
+        # and per-block futures land in ``results`` immediately so the
+        # assembler can wait on exactly the blocks it needs.  A 2-slot
+        # semaphore bounds in-flight finishers (device arrays they hold
+        # alive), restoring the old blocking behavior under backlog.
+        from concurrent.futures import Future
+
+        pool, slots = _huff_pool()
+        slots.acquire()
+        futs = {key: Future() for key in chunk}
+        for key, f in futs.items():
+            results[key] = f
+
+        def finish():
+            try:
+                local: dict = {}
+                _drain_fast_huff(
+                    local, per_stream_blocks, chunk, out_d, aux, n_max
+                )
+            except BaseException as e:
+                for f in futs.values():
+                    f.set_exception(e)
+            else:
+                for key, f in futs.items():
+                    f.set_result(local[key])
+            finally:
+                slots.release()
+
+        pool.submit(finish)
+        return
     if mode == "fast" and aux.get("bits") in (4, 5, 6) and "lens" in aux:
         out = np.asarray(out_d)  # one transfer for the whole batch
         for i, ((si, bi), used) in enumerate(zip(chunk, aux["useds"])):
@@ -1247,10 +1314,19 @@ def _drain_fast_huff(results, per_stream_blocks, chunk, handles, aux, n_max):
     words_d, totals_d = _jitted_emit_coded(n_max)(
         syms_d, m_d, sel_d, jnp.asarray(luts)
     )
-    sel = np.asarray(sel_d)
-    words = np.asarray(words_d)
     totals = np.asarray(totals_d)
     w_cap = _emit_w_cap(n_max)
+    # bucketed-prefix downloads (see _jitted_batch_head): only the
+    # occupied columns of sel (n_sel ~ m/50) and words (~coded size)
+    # cross the link, not the padded caps
+    n_sel_need = max((int(ms[i]) + GROUP_SIZE - 1) // GROUP_SIZE for i in range(b))
+    sel = np.asarray(
+        _jitted_batch_head(_dl_bucket(n_sel_need, sel_d.shape[1], 1024))(sel_d)
+    )
+    w_need = max(
+        (min(int(totals[i]), 32 * w_cap) + 31) // 32 for i in range(b)
+    )
+    words = np.asarray(_jitted_batch_head(_dl_bucket(w_need, w_cap))(words_d))
 
     for i, (si, bi) in enumerate(chunk):
         m = int(ms[i])
@@ -1298,17 +1374,37 @@ def _drain_fast_huff(results, per_stream_blocks, chunk, handles, aux, n_max):
 
 
 _TAIL_POOL = None
+_HUFF_POOL = None
+_HUFF_SLOTS = None
 
 
 def _tail_pool():
-    """Shared 2-thread executor for per-block tail encodes (the native
-    entry releases the GIL, so these overlap device transfers)."""
+    """Shared executor for per-block tail encodes (the native entry
+    releases the GIL, so these overlap device transfers).  Width
+    defaults to 2 (right for this 2-core box); STARCH3_TPU_TAIL_WORKERS
+    overrides it — both to scale up on big hosts and to throttle to 1
+    for the chips-outnumber-cores crossover experiment
+    (benchmarks/profile_device.py, docs/PERF.md)."""
     global _TAIL_POOL
     if _TAIL_POOL is None:
+        import os
         from concurrent.futures import ThreadPoolExecutor
 
-        _TAIL_POOL = ThreadPoolExecutor(2, thread_name_prefix="s3tail")
+        width = max(1, int(os.environ.get("STARCH3_TPU_TAIL_WORKERS", "2") or 2))
+        _TAIL_POOL = ThreadPoolExecutor(width, thread_name_prefix="s3tail")
     return _TAIL_POOL
+
+
+def _huff_pool():
+    """Single-thread finisher executor for fast_huff batches plus its
+    2-slot in-flight bound (see _drain_into)."""
+    global _HUFF_POOL, _HUFF_SLOTS
+    if _HUFF_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _HUFF_POOL = ThreadPoolExecutor(1, thread_name_prefix="s3huff")
+        _HUFF_SLOTS = threading.Semaphore(2)
+    return _HUFF_POOL, _HUFF_SLOTS
 
 
 def _fragment_from_ranks_row(row, used, crc, n, bits=4):
