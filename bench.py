@@ -295,6 +295,28 @@ def _regression_check(headline_ratio: float, host_ratio: float) -> dict:
 
 
 def main() -> int:
+    if "--huff-worker" in sys.argv:
+        # crossover experiment (run with STARCH3_TPU_TAIL_WORKERS=1): in
+        # the chips-outnumber-cores regime, device_huffman (Huffman
+        # costing + bit packing on device, ~compressed-size download)
+        # should beat fast mode (whose native RLE2+Huffman tail needs
+        # ~1 core per 115 MB/s).  host_assist off isolates the tail.
+        from starch3_tpu.api import _parse_transform
+        from starch3_tpu.parallel.pipeline import encode_streams
+
+        texts = [tf.text for tf in _parse_transform(make_genome_bed())]
+        tb = sum(map(len, texts))
+        out = {"tail_workers": os.environ.get("STARCH3_TPU_TAIL_WORKERS")}
+        for mode, kw in (("fast", {}), ("device_huffman", {"device_huffman": True})):
+            encode_streams(texts[:3], host_assist=False, **kw)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                encode_streams(texts, host_assist=False, **kw)
+                best = min(best, time.perf_counter() - t0)
+            out[mode + "_mb_s_transformed"] = round(tb / best / 1e6, 3)
+        sys.stdout.write(json.dumps(out) + "\n")
+        return 0
     if "--jax-worker" in sys.argv:
         # subprocess mode: the production device path (hybrid) plus a
         # device-only run on the whole-genome corpus; one process so the
@@ -327,6 +349,13 @@ def main() -> int:
             t0 = time.perf_counter()
             decode_streams(streams)
             ddec_dt = min(ddec_dt, time.perf_counter() - t0)
+        # BASELINE config 1: chr21 single stream on the production path.
+        # The transformed text is ONE ~878 kB block, so the host path is
+        # bound by a single core's sequential block encode (BWT ~34 ms of
+        # 47 — docs/PERF.md "single-stream floor"); the device runs that
+        # block's BWT+MTF ~3-5x faster even through the tunnel.
+        bed21 = make_chr21_bed()
+        dt21, _ = measure_encode(bed21, use_jax=True, reps=4)
         # BASELINE config 3: remainder-column BED through the same paths
         bed_w = make_genome_bed_wide()
         dt_w, archive_w = measure_encode(bed_w, use_jax=True, reps=3)
@@ -338,16 +367,41 @@ def main() -> int:
             t0 = time.perf_counter()
             encode_streams(texts_w, host_assist=False)
             devw_dt = min(devw_dt, time.perf_counter() - t0)
+        # streaming tax on the jax path: the same corpus through the
+        # chunked stream reader + continuous device queue
+        # (api.compress_bed_stream -> pipeline.encode_streams_iter)
+        # vs the in-memory rate measured above
+        import io
+
+        from starch3_tpu.api import compress_bed_stream
+
+        class _Null(io.RawIOBase):
+            def writable(self):
+                return True
+
+            def write(self, b):
+                return len(b)
+
+        stream_dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            compress_bed_stream(
+                io.BytesIO(bed), _Null(), EncodeConfig(use_jax=True)
+            )
+            stream_dt = min(stream_dt, time.perf_counter() - t0)
+
         sys.stdout.write(
             json.dumps(
                 {
                     "seconds": dt,
+                    "streaming_seconds": stream_dt,
                     "n": len(archive),
                     "in": len(bed),
                     "identical_to_host": archive == host_archive,
                     "device_only_seconds": dev_dt,
                     "device_decode_seconds": ddec_dt,
                     "transformed_bytes": sum(map(len, texts)),
+                    "chr21": {"seconds": dt21, "in": len(bed21)},
                     "stages": stage_timer.report(),
                     "per_chip_stage_rates": _per_chip_stage_rates(),
                     "wide": {
@@ -423,6 +477,7 @@ def main() -> int:
         )
 
     jax = None
+    huff_cross = None
     if "--no-jax" not in sys.argv:
         try:
             r = subprocess.run(
@@ -435,6 +490,19 @@ def main() -> int:
                 jax = json.loads(r.stdout.decode().strip().splitlines()[-1])
         except (subprocess.TimeoutExpired, Exception):
             jax = None
+        try:
+            env1 = dict(os.environ, STARCH3_TPU_TAIL_WORKERS="1")
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--huff-worker"],
+                capture_output=True,
+                timeout=1800,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                env=env1,
+            )
+            if r.returncode == 0:
+                huff_cross = json.loads(r.stdout.decode().strip().splitlines()[-1])
+        except (subprocess.TimeoutExpired, Exception):
+            huff_cross = None
 
     config3_wide = {
         "input_bytes": len(bed_w),
@@ -480,6 +548,15 @@ def main() -> int:
             "jax_path_stages": jax.get("stages", {}),
             "per_chip_stage_rates": jax.get("per_chip_stage_rates", {}),
         }
+        if "streaming_seconds" in jax:
+            device_only["streaming_jax_mb_s"] = round(
+                jax["in"] / jax["streaming_seconds"] / 1e6, 3
+            )
+            device_only["streaming_tax_pct"] = round(
+                100 * (1 - jax["seconds"] / jax["streaming_seconds"]), 1
+            )
+        if huff_cross is not None:
+            device_only["huffman_crossover_tail_workers_1"] = huff_cross
     else:
         mbps = host_mbps
         metric = (
@@ -505,7 +582,15 @@ def main() -> int:
                     "baseline_libbz2_1core_mb_s": round(baseline_mbps, 3),
                     "host_path_mb_s": round(host_mbps, 3),
                     "decode_mb_s": round(decode_mbps, 3),
-                    "chr21_single_stream_mb_s": round(chr21_mbps, 3),
+                    "chr21_single_stream_mb_s": round(
+                        (
+                            jax["chr21"]["in"] / jax["chr21"]["seconds"] / 1e6
+                            if jax is not None and "chr21" in jax
+                            else chr21_mbps
+                        ),
+                        3,
+                    ),
+                    "chr21_single_stream_host_mb_s": round(chr21_mbps, 3),
                     "config3_wide": config3_wide,
                     **device_only,
                     "regressions": regressions,
