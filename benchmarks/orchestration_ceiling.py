@@ -213,6 +213,103 @@ def stage_rates(texts, rows):
     }
 
 
+def huff_residue_rate(texts):
+    """Per-core host residue of device_huffman mode: what the host still
+    does per block when group costing + bit packing run on device —
+    initial tables, the 4 native length-heap refinements, canonical code
+    assignment, selector MTF, block header, and the packed-word splice.
+    This is the host-side half of the chips-outnumber-cores crossover:
+    fast mode needs a core per ~115 MB/s of tail; device_huffman needs a
+    core per THIS rate.  Device-produced intermediates (selectors,
+    rfreq) are precomputed here with the same numpy math, untimed."""
+    from starch3_tpu.codec import huffman
+    from starch3_tpu.codec.bitio import BitWriter
+    from starch3_tpu.codec.crc32 import crc32_bytes
+    from starch3_tpu.codec.encoder import write_block_header
+    from starch3_tpu.codec.mtf import mtf_rle2_from_ranks
+    from starch3_tpu.codec.rle1 import rle1_split_blocks
+    from starch3_tpu.runtime import (
+        bwt_native,
+        mtf_ranks_native,
+        refine_lengths_batch_native,
+        selector_mtf_native,
+        write_block_header_native,
+    )
+
+    # distinct big blocks only (steady-state geometry)
+    blocks = []
+    for t in dict.fromkeys(texts):
+        for blk in rle1_split_blocks(t, 9):
+            if len(blk.data) > 400_000:
+                blocks.append(blk)
+    prep = []
+    for blk in blocks[:24]:
+        arr = np.frombuffer(blk.data, np.uint8)
+        used = np.bincount(arr, minlength=256) > 0
+        u2s = (np.cumsum(used) - 1).astype(np.uint8)
+        last, ptr = bwt_native(arr)
+        ranks = mtf_ranks_native(u2s[last].astype(np.int32), int(used.sum()))
+        mr = mtf_rle2_from_ranks(np.asarray(ranks, dtype=np.int64), used)
+        syms, freq = np.asarray(mr.symbols, np.int64), np.asarray(mr.freq, np.int64)
+        alpha = int(used.sum()) + 2
+        m = syms.size
+        gid = np.arange(m, dtype=np.int64) // huffman.GROUP_SIZE
+        n_sel = int(gid[-1]) + 1
+        hist = np.bincount(
+            gid * alpha + syms, minlength=n_sel * alpha
+        ).reshape(n_sel, alpha)
+        # device-side products of each iteration (untimed)
+        lens = huffman.initial_lengths(freq[:alpha], alpha, m)
+        iters = []
+        for _ in range(huffman.N_ITERS):
+            cost = hist @ lens.T
+            selectors = np.argmin(cost, axis=1)
+            ng = lens.shape[0]
+            rfreq = np.zeros((ng, alpha), dtype=np.int64)
+            np.add.at(rfreq, (selectors,), hist)
+            iters.append((selectors, rfreq))
+            lens = np.stack(
+                [huffman.make_code_lengths(rfreq[t2], alpha) for t2 in range(ng)]
+            )
+        prep.append(
+            (blk, arr.size, alpha, m, freq, iters, lens, ptr, used,
+             crc32_bytes(blk.data))
+        )
+
+    t0 = time.perf_counter()
+    for blk, n, alpha, m, freq, iters, final_lens, ptr, used, crc in prep:
+        ng = huffman.n_groups_for(m)
+        lens = np.zeros((1, 6, 258), dtype=np.int32)
+        lens[0, :ng, :alpha] = huffman.initial_lengths(freq[:alpha], alpha, m)
+        for _sel, rfreq in iters:
+            rf258 = np.zeros((1, 6, 258), np.int64)
+            rf258[0, :ng, :alpha] = rfreq
+            refine_lengths_batch_native(
+                rf258, np.asarray([ng]), np.asarray([alpha]), lens
+            )
+        for t2 in range(ng):  # emit-LUT construction (drain does this too)
+            huffman.assign_codes(final_lens[t2, :alpha])
+        sel = iters[-1][0]
+        frag = BitWriter()
+        hdr = write_block_header_native(
+            crc, ptr, used, final_lens[:, :alpha], sel.astype(np.int64)
+        )
+        if hdr is not None:  # production path (native serializer)
+            frag._out += hdr[0]
+            frag._acc, frag._nbits = hdr[1], hdr[2]
+        else:
+            sel_mtf = selector_mtf_native(sel.astype(np.int64))
+            write_block_header(
+                frag, crc, ptr, used, ng,
+                final_lens[:, :alpha].astype(np.int64), sel_mtf,
+            )
+        # splice: model the packed-words copy (coded size ~ block/3)
+        frag._out += b"\0" * (n // 3)
+    dt = time.perf_counter() - t0
+    total = sum(p[1] for p in prep)
+    return round(total / dt / 1e6, 1)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=8)
@@ -242,6 +339,7 @@ def main() -> int:
         "tail_pool": os.environ.get("STARCH3_TPU_TAIL_WORKERS", "2"),
         "achieved_vs_offered_mb_s": sweep,
         "stages": stage_rates(texts, rows),
+        "device_huffman_host_residue_per_core_mb_s": huff_residue_rate(texts),
         "note": (
             "offered = simulated aggregate device rate over all chips "
             "(transformed bytes/s through one service queue); achieved = "

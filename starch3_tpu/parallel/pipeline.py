@@ -1337,29 +1337,46 @@ def _drain_fast_huff(results, per_stream_blocks, chunk, handles, aux, n_max):
         blk = per_stream_blocks[si][bi]
         n_sel = (m + GROUP_SIZE - 1) // GROUP_SIZE
         selectors = sel[i, :n_sel].astype(np.int64)
-        # selector MTF (6-entry list; native walk, Python fallback)
-        from starch3_tpu.runtime import selector_mtf_native
-
-        sel_mtf = selector_mtf_native(selectors)
-        if sel_mtf is None:
-            pos = list(range(int(n_groups[i])))
-            sel_mtf = np.empty(n_sel, dtype=np.int64)
-            for k, s in enumerate(selectors.tolist()):
-                j = pos.index(s)
-                sel_mtf[k] = j
-                pos.pop(j)
-                pos.insert(0, s)
-        frag = BitWriter()
         alpha = int(alphas[i])
-        write_block_header(
-            frag,
-            blk.crc,
-            int(ptrs[i]),
-            aux["useds"][i],
-            int(n_groups[i]),
-            lens[i, : int(n_groups[i]), :alpha].astype(np.int64),
-            sel_mtf,
+        ng = int(n_groups[i])
+        # header serialization: one native call (selector MTF + unary +
+        # delta-coded tables inside) — the Python BitWriter header was
+        # 82% of this drain's host residue
+        from starch3_tpu.runtime import (
+            selector_mtf_native,
+            write_block_header_native,
         )
+
+        hdr = write_block_header_native(
+            blk.crc, int(ptrs[i]), aux["useds"][i],
+            lens[i, :ng, :alpha], selectors,
+        )
+        frag = BitWriter()
+        if hdr is not None:
+            hdr_bytes, hdr_acc, hdr_nbits = hdr
+            frag._out += hdr_bytes
+            frag._acc = hdr_acc
+            frag._nbits = hdr_nbits
+        else:
+            # Python path (no native lib)
+            sel_mtf = selector_mtf_native(selectors)
+            if sel_mtf is None:
+                pos = list(range(ng))
+                sel_mtf = np.empty(n_sel, dtype=np.int64)
+                for k, s in enumerate(selectors.tolist()):
+                    j = pos.index(s)
+                    sel_mtf[k] = j
+                    pos.pop(j)
+                    pos.insert(0, s)
+            write_block_header(
+                frag,
+                blk.crc,
+                int(ptrs[i]),
+                aux["useds"][i],
+                ng,
+                lens[i, :ng, :alpha].astype(np.int64),
+                sel_mtf,
+            )
         # splice the device-packed words: whole bytes + a <8-bit tail
         raw = words[i, : (total + 31) // 32].astype(">u4").tobytes()
         full_bytes = total // 8

@@ -190,6 +190,14 @@ def get_lib():
             ctypes.c_uint32, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.s3_write_block_header.restype = ctypes.c_int64
+        lib.s3_write_block_header.argtypes = [
+            ctypes.c_uint32, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.s3_crc32.restype = ctypes.c_uint32
         lib.s3_crc32.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.s3_parse_ints.restype = ctypes.c_int64
@@ -245,6 +253,39 @@ def pack_bits_native(values: np.ndarray, nbits: np.ndarray, acc: int, acc_nbits:
         acc, acc_nbits, out.ctypes.data,
         ctypes.byref(tail), ctypes.byref(tail_nbits),
     )
+    return out[:n].tobytes(), int(tail.value), int(tail_nbits.value)
+
+
+def write_block_header_native(
+    crc: int, orig_ptr: int, in_use: np.ndarray, lens: np.ndarray,
+    sels: np.ndarray,
+):
+    """Serialize one block's pre-coded-data header (magics, CRC,
+    origPtr, used map, selector MTF+unary, delta-coded tables) in one
+    native call (runtime.cpp s3_write_block_header).  ``lens`` is
+    int-castable [n_groups, alpha]; ``sels`` are RAW table ids (MTF
+    happens natively).  Returns (bytes, tail_acc, tail_nbits) or None
+    (no lib / invalid inputs -> caller uses the Python writer)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    lens32 = np.ascontiguousarray(lens, dtype=np.int32)
+    n_groups, alpha = lens32.shape
+    sels32 = np.ascontiguousarray(sels, dtype=np.int32)
+    used8 = np.ascontiguousarray(in_use, dtype=np.uint8)
+    cap = 4096 + sels32.size  # map+tables < 1 kB; selectors <= 6 bits each
+    out = np.empty(cap, dtype=np.uint8)
+    tail = ctypes.c_uint64()
+    tail_nbits = ctypes.c_int32()
+    n = lib.s3_write_block_header(
+        crc & 0xFFFFFFFF, orig_ptr, used8.ctypes.data,
+        n_groups, alpha, lens32.ctypes.data,
+        sels32.ctypes.data, sels32.size,
+        out.ctypes.data, cap,
+        ctypes.byref(tail), ctypes.byref(tail_nbits),
+    )
+    if n < 0:
+        return None
     return out[:n].tobytes(), int(tail.value), int(tail_nbits.value)
 
 

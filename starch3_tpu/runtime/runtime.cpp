@@ -2345,4 +2345,85 @@ int64_t s3_encode_tail(const uint16_t* syms, int64_t n_mtf,
     return bw.n;
 }
 
+// Standalone block-header serializer for the device-Huffman drain: the
+// device computed the coded words (ops/bitpack_jax.emit_coded_padded),
+// the native heaps the lengths — this writes everything before the
+// coded data (magics, CRC, origPtr, used map, selector MTF+unary,
+// delta-coded tables) in one GIL-released call.  Python's BitWriter
+// header was 82% of the drain's host residue (benchmarks/
+// orchestration_ceiling.py huff_residue_rate).  Takes RAW selector ids
+// and MTFs them here (same discipline as s3_encode_tail above).
+// Returns whole bytes written (+ tail bits out-params), or -1.
+int64_t s3_write_block_header(uint32_t crc, int64_t orig_ptr,
+                              const uint8_t* in_use_u8, int32_t n_groups,
+                              int32_t alpha, const int32_t* lens,
+                              const int32_t* sels, int64_t n_sel,
+                              uint8_t* out, int64_t out_cap, uint64_t* tail,
+                              int32_t* tail_nbits) {
+    if (n_groups < 2 || n_groups > 6 || alpha < 3 || alpha > 258 ||
+        n_sel <= 0 || n_sel >= (1 << 15) || orig_ptr < 0 ||
+        orig_ptr >= (1 << 24))
+        return -1;
+    for (int64_t i = 0; i < n_sel; i++)
+        if (sels[i] < 0 || sels[i] >= n_groups) return -1;
+    for (int t = 0; t < n_groups; t++)
+        for (int s = 0; s < alpha; s++) {
+            int32_t l = lens[(size_t)t * alpha + s];
+            if (l < 1 || l > 23) return -1;  // format ceiling on decode
+        }
+    BitW bw{out, out_cap};
+    bw.put(0x314159ULL, 24);
+    bw.put(0x265359ULL, 24);
+    bw.put(crc, 32);
+    bw.put(0, 1);  // randomised: never (1.0.x compressor)
+    bw.put((uint64_t)orig_ptr, 24);
+    uint32_t gmask = 0;
+    for (int g = 0; g < 16; g++) {
+        bool any = false;
+        for (int b = 0; b < 16; b++) any |= in_use_u8[g * 16 + b] != 0;
+        gmask = (gmask << 1) | (any ? 1 : 0);
+    }
+    bw.put(gmask, 16);
+    for (int g = 0; g < 16; g++) {
+        if (!((gmask >> (15 - g)) & 1)) continue;
+        uint32_t bits = 0;
+        for (int b = 0; b < 16; b++)
+            bits = (bits << 1) | (in_use_u8[g * 16 + b] ? 1 : 0);
+        bw.put(bits, 16);
+    }
+    bw.put((uint64_t)n_groups, 3);
+    bw.put((uint64_t)n_sel, 15);
+    {
+        uint8_t pos[6] = {0, 1, 2, 3, 4, 5};
+        for (int64_t i = 0; i < n_sel; i++) {
+            uint8_t s = (uint8_t)sels[(size_t)i];
+            int j = 0;
+            while (pos[j] != s) j++;
+            for (int t = j; t > 0; t--) pos[t] = pos[t - 1];
+            pos[0] = s;
+            bw.put((((uint64_t)1 << j) - 1) << 1, j + 1);
+        }
+    }
+    for (int t = 0; t < n_groups; t++) {
+        int curr = (int)lens[(size_t)t * alpha];
+        bw.put((uint64_t)curr, 5);
+        for (int s = 0; s < alpha; s++) {
+            int want = (int)lens[(size_t)t * alpha + s];
+            while (curr < want) {
+                bw.put(0b10, 2);
+                curr++;
+            }
+            while (curr > want) {
+                bw.put(0b11, 2);
+                curr--;
+            }
+            bw.put(0, 1);
+        }
+    }
+    if (!bw.ok) return -1;
+    *tail = bw.reg;
+    *tail_nbits = bw.live;
+    return bw.n;
+}
+
 }  // extern "C"

@@ -70,6 +70,54 @@ class TestNativeHuffman:
             assert a.tolist() == b.tolist()
 
 
+class TestNativeBlockHeader:
+    def test_matches_python_writer(self, rng):
+        """s3_write_block_header vs the Python BitWriter header: same
+        bits for random (used map, tables, selectors) inputs."""
+        from starch3_tpu.codec.bitio import BitWriter
+        from starch3_tpu.codec.encoder import write_block_header
+
+        for _ in range(15):
+            n_in_use = int(rng.integers(1, 256))
+            alpha = n_in_use + 2
+            used = np.zeros(256, dtype=bool)
+            used[rng.choice(256, n_in_use, replace=False)] = True
+            ng = int(rng.integers(2, 7))
+            lens = rng.integers(1, 18, (ng, alpha)).astype(np.int64)
+            n_sel = int(rng.integers(1, 3000))
+            sels = rng.integers(0, ng, n_sel).astype(np.int64)
+            crc = int(rng.integers(0, 1 << 32))
+            ptr = int(rng.integers(0, 900_000))
+
+            got = runtime.write_block_header_native(crc, ptr, used, lens, sels)
+            assert got is not None
+
+            # Python oracle: selector MTF + BitWriter
+            pos = list(range(ng))
+            sel_mtf = np.empty(n_sel, dtype=np.int64)
+            for k, s in enumerate(sels.tolist()):
+                j = pos.index(s)
+                sel_mtf[k] = j
+                pos.pop(j)
+                pos.insert(0, s)
+            bw = BitWriter()
+            write_block_header(bw, crc, ptr, used, ng, lens, sel_mtf)
+            assert got == (bytes(bw._out), bw._acc, bw._nbits)
+
+    def test_rejects_bad_inputs(self):
+        used = np.ones(256, dtype=bool)
+        lens = np.full((2, 258), 5, dtype=np.int64)
+        sels = np.zeros(10, dtype=np.int64)
+        # out-of-range selector id
+        bad = sels.copy()
+        bad[3] = 2
+        assert runtime.write_block_header_native(0, 0, used, lens, bad) is None
+        # zero code length
+        lens0 = lens.copy()
+        lens0[1, 7] = 0
+        assert runtime.write_block_header_native(0, 0, used, lens0, sels) is None
+
+
 class TestNativePackBits:
     def test_matches(self, rng):
         vals = rng.integers(0, 1 << 20, 1000).astype(np.uint64)
