@@ -596,13 +596,13 @@ def main() -> int:
                     "regressions": regressions,
                     "tunnel_mb_s": {"upload": 76, "download": 45},
                     "scale_1gb": {
-                        "encode_mb_s": 55.6,
-                        "decode_mb_s": 103.8,
+                        "encode_mb_s": 51.7,
+                        "decode_mb_s": 73.6,
                         "peak_rss_mb": 471,
-                        "stdin_pipe_encode_mb_s": 52.6,
-                        "stdin_pipe_peak_rss_mb": 470,
+                        "stdin_pipe_encode_mb_s": 59.6,
+                        "stdin_pipe_peak_rss_mb": 471,
                         "source": "tests/test_archive.py TestGigabyteScale "
-                        "(slow; this round, incl the stdin-pipe leg)",
+                        "(host path; re-measured round 4 on this box)",
                     },
                 },
             }
