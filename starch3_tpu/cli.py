@@ -65,6 +65,9 @@ USAGE = f"""\
                           member per stream)
   --output=FILE | -o      Write to FILE instead of stdout
   --jax                   Use the JAX/TPU compute path
+  --device-huffman        With --jax: run Huffman costing + bit packing
+                          on device too (for hosts where chips outnumber
+                          cores; bytes identical either way)
   --help | -h             Show this usage message
   --version | -v          Show binary version
 
@@ -88,6 +91,7 @@ def _parse_args(argv: list[str]) -> dict:
         "list": False,
         "output": None,
         "jax": False,
+        "device_huffman": False,
         "chrom": None,
         "input": None,
         "coordinator": None,
@@ -119,6 +123,8 @@ def _parse_args(argv: list[str]) -> dict:
             opts["list"] = True
         elif a == "--jax":
             opts["jax"] = True
+        elif a == "--device-huffman":
+            opts["device_huffman"] = True
         elif a.startswith("--platform="):
             # this environment's TPU plugin ignores JAX_PLATFORMS; give
             # users an explicit switch (must run before backend init)
@@ -248,6 +254,7 @@ def main(argv: list[str] | None = None) -> int:
                 note=opts["note"],
                 method=opts["method"] or CompressionMethod.default(),
                 use_jax=opts["jax"],
+                device_huffman=opts["device_huffman"],
                 gzip_level=opts["gzip_level"] or 6,
                 **(
                     {"gzip_segment_bytes": opts["gzip_segment"]}
@@ -280,6 +287,7 @@ def main(argv: list[str] | None = None) -> int:
                 note=opts["note"],
                 method=opts["method"] or CompressionMethod.default(),
                 use_jax=opts["jax"],
+                device_huffman=opts["device_huffman"],
                 gzip_level=opts["gzip_level"] or 6,
                 **(
                     {"gzip_segment_bytes": opts["gzip_segment"]}

@@ -81,6 +81,16 @@ class TestCli:
         assert r2.stdout == bed
         assert b"native block-parallel" in r2.stderr
 
+    def test_device_huffman_flag(self, rng):
+        # --device-huffman routes through the fast_huff drain; bytes
+        # must equal the plain encode (byte-determinism across modes)
+        bed = make_bed_text(rng, n=400)
+        plain = run([], input_=bed)
+        dh = run(["--jax", "--device-huffman", "--platform=cpu"], input_=bed)
+        assert dh.stdout == plain.stdout
+        r2 = run(["--decode"], input_=dh.stdout)
+        assert r2.stdout == bed
+
     def test_gzip_flag(self, rng):
         bed = make_bed_text(rng, n=300)
         r = run(["--gzip"], input_=bed)
