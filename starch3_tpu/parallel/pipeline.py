@@ -1413,14 +1413,18 @@ def _tail_pool():
 
 
 def _huff_pool():
-    """Single-thread finisher executor for fast_huff batches plus its
-    2-slot in-flight bound (see _drain_into)."""
+    """Finisher executor for fast_huff batches plus its in-flight bound
+    (see _drain_into).  Two threads so consecutive batches' refinement
+    round trips overlap — each finisher's 4 cost/select trips are
+    inherently sequential (host heaps between device steps), so on
+    high-latency links a second in-flight refinement doubles the
+    dispatch-RTT throughput; results stay per-block deterministic."""
     global _HUFF_POOL, _HUFF_SLOTS
     if _HUFF_POOL is None:
         from concurrent.futures import ThreadPoolExecutor
 
-        _HUFF_POOL = ThreadPoolExecutor(1, thread_name_prefix="s3huff")
-        _HUFF_SLOTS = threading.Semaphore(2)
+        _HUFF_POOL = ThreadPoolExecutor(2, thread_name_prefix="s3huff")
+        _HUFF_SLOTS = threading.Semaphore(3)
     return _HUFF_POOL, _HUFF_SLOTS
 
 
