@@ -424,11 +424,37 @@ def main() -> int:
                 stream_dt = min(stream_dt, time.perf_counter() - t0)
             return stream_dt
 
+        def _tunnel_health():
+            # attribute degraded headline runs to the link, not the code:
+            # small-dispatch RTT + bulk D2H rate at bench time
+            import jax
+            import jax.numpy as jnp
+
+            f = jax.jit(lambda a: a + 1)
+            x = jnp.zeros(8, jnp.int32)
+            np.asarray(f(x))
+            rtts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                np.asarray(f(x))
+                rtts.append(time.perf_counter() - t0)
+            big = jnp.zeros(4 << 20, jnp.uint8)
+            g = jax.jit(lambda a: a ^ 1)
+            np.asarray(g(big))
+            t0 = time.perf_counter()
+            np.asarray(g(big))
+            d2h = (4 << 20) / (time.perf_counter() - t0) / 1e6
+            return {
+                "dispatch_rtt_ms_min": round(min(rtts) * 1e3, 1),
+                "bulk_d2h_mb_s": round(d2h, 1),
+            }
+
         guarded("device_decode_seconds", _device_decode)
         guarded("chr21", _chr21)
         guarded("wide", _wide)
         guarded("streaming_seconds", _streaming)
         guarded("per_chip_stage_rates", _per_chip_stage_rates)
+        guarded("tunnel_health", _tunnel_health)
         sys.stdout.write(json.dumps(result) + "\n")
         return 0
 
@@ -566,6 +592,8 @@ def main() -> int:
             )
         if "segment_errors" in jax:
             device_only["segment_errors"] = jax["segment_errors"]
+        if "tunnel_health" in jax:
+            device_only["tunnel_health"] = jax["tunnel_health"]
         if "streaming_seconds" in jax:
             device_only["streaming_jax_mb_s"] = round(
                 jax["in"] / jax["streaming_seconds"] / 1e6, 3
