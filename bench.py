@@ -238,6 +238,26 @@ def _per_chip_stage_rates() -> dict:
             "full_step_combined": mbps(dt_full),
             "sort_ties_in_batch": ties_total,
         }
+    # generic wide class (bits==8, >64-symbol alphabets: arbitrary
+    # remainder text): 4-operand sort at 16 symbols of context +
+    # width-256 MTF — the fallback tier, profiled so its cost is a
+    # number, not a guess
+    from starch3_tpu.parallel.pipeline import _jitted_fused_step_fast
+
+    rng = np.random.default_rng(11)
+    n_max = 901_120
+    seqs = np.zeros((B, n_max), np.int32)
+    lens = np.full(B, 890_000, np.int32)
+    for i in range(B):
+        seqs[i, :890_000] = rng.integers(0, 100, 890_000)
+    seqs_d, lens_d = jnp.asarray(seqs), jnp.asarray(lens)
+    nsyms_d = jnp.full(B, 100, jnp.int32)
+    step8 = _jitted_fused_step_fast(n_max, 8, True)
+    dt8 = bench_fn(step8, seqs_d, lens_d, nsyms_d)
+    rates["901k_bits8_generic"] = {
+        "full_step_combined": round(B * n_max / dt8 / 1e6, 1),
+        "corpus": "uniform 100-symbol alphabet (synthetic worst case)",
+    }
     rates["note"] = (
         "batch-6-amortized on-chip compute (upload/download excluded); "
         "RLE2 runs in the native host tail in this mode — see docs/PERF.md"
