@@ -539,7 +539,28 @@ def main() -> int:
 
     jax = None
     huff_cross = None
+    tunnel_note = None
     if "--no-jax" not in sys.argv:
+        # fail-fast probe: the measurement window on this box has seen
+        # hour-long D2H outages; don't let the jax workers hang for
+        # their full timeouts when a 30 s roundtrip can't complete
+        probe = (
+            "import numpy as np, jax, jax.numpy as jnp;"
+            "x = jnp.arange(8, dtype=jnp.int32);"
+            "np.asarray(jax.jit(lambda a: a + 1)(x)); print('ok')"
+        )
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True, timeout=120
+            )
+            if r.returncode != 0 or b"ok" not in r.stdout:
+                tunnel_note = "device probe failed; jax lane skipped"
+        except subprocess.TimeoutExpired:
+            tunnel_note = (
+                "device probe timed out (>120 s for an 8-int roundtrip); "
+                "jax lane skipped"
+            )
+    if tunnel_note is None and "--no-jax" not in sys.argv:
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--jax-worker"],
@@ -630,6 +651,8 @@ def main() -> int:
             " 24 chroms, end-to-end; jax worker unavailable)"
         )
         device_only = {}
+        if tunnel_note:
+            device_only = {"tunnel": tunnel_note}
 
     regressions = _regression_check(mbps / baseline_mbps, host_mbps / baseline_mbps)
 
