@@ -549,17 +549,24 @@ def main() -> int:
             "x = jnp.arange(8, dtype=jnp.int32);"
             "np.asarray(jax.jit(lambda a: a + 1)(x)); print('ok')"
         )
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", probe], capture_output=True, timeout=120
-            )
-            if r.returncode != 0 or b"ok" not in r.stdout:
+        # the tunnel flaps (observed: healthy windows of minutes between
+        # outages); retry the probe across ~10 min before giving up
+        for attempt in range(3):
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c", probe],
+                    capture_output=True, timeout=150,
+                )
+                if r.returncode == 0 and b"ok" in r.stdout:
+                    tunnel_note = None
+                    break
                 tunnel_note = "device probe failed; jax lane skipped"
-        except subprocess.TimeoutExpired:
-            tunnel_note = (
-                "device probe timed out (>120 s for an 8-int roundtrip); "
-                "jax lane skipped"
-            )
+            except subprocess.TimeoutExpired:
+                tunnel_note = (
+                    "device probe timed out 3x (150 s each for an 8-int "
+                    "roundtrip); jax lane skipped"
+                )
+            time.sleep(60)
     if tunnel_note is None and "--no-jax" not in sys.argv:
         try:
             r = subprocess.run(
