@@ -43,6 +43,7 @@ host — output bytes never depend on the path taken.
 from __future__ import annotations
 
 import functools
+import time
 
 import numpy as np
 
@@ -898,6 +899,17 @@ import threading
 _TAIL_RESERVE_PER_STEALER = 1
 _PIPELINE_DEPTH = 2
 
+# Rate-aware device demotion (see _device_driver): bench the device when
+# its drain throughput EMA falls below this fraction of the stealers'
+# aggregate, and re-probe with one batch this many seconds later.
+_DEMOTE_FRACTION = 0.5
+_DEMOTE_PROBE_S = 15.0
+_DEMOTE_MIN_SAMPLES = 3
+
+# observability: cumulative scheduler events for this process (tests and
+# the bench read these; encode results never depend on them)
+scheduler_stats = {"demotions": 0, "repromotions": 0}
+
 
 class _BlockQueue:
     """The shared two-ended block queue behind one encode call.
@@ -932,6 +944,17 @@ class _BlockQueue:
         self.inflight_bytes = 0
         self.feed_blocked = False  # feeder parked on the window
         self.cancelled = False
+        # rate-aware demotion (see _device_driver): throughput EMAs let
+        # the scheduler bench a device whose effective rate has
+        # collapsed (sick chip, degraded interconnect) instead of
+        # letting its claimed batches straggle the whole corpus.
+        # Scheduling only — archive bytes are claim-order invariant.
+        self.n_stealers = 0
+        self.stealer_rate = None  # EMA bytes/s per stealer core
+        self.device_rate = None  # EMA bytes/s (drain-to-drain)
+        self.device_rate_samples = 0
+        self.device_demoted = False
+        self.device_probe_at = 0.0  # monotonic time of next probe
 
     def active_feeding(self) -> bool:
         """True while more blocks may arrive SOON.  A window-blocked
@@ -1007,6 +1030,7 @@ def _start_host_stealers(q: _BlockQueue, results, errors, host_assist):
                             q.steal_holdback
                             if q.active_feeding()
                             and q.device_claimed < q.device_low_water
+                            and not q.device_demoted
                             else 0
                         )
                         for nm in sorted(q.buckets, reverse=True):
@@ -1020,10 +1044,18 @@ def _start_host_stealers(q: _BlockQueue, results, errors, host_assist):
                 if claim is None:
                     return
                 si, bi = claim
-                results[(si, bi)] = encode_block_fragment(
-                    q.per_stream_blocks[si][bi]
-                )
+                blk = q.per_stream_blocks[si][bi]
+                t0 = time.monotonic()
+                results[(si, bi)] = encode_block_fragment(blk)
+                dt = time.monotonic() - t0
                 with q.cond:  # wake the incremental assembler
+                    if dt > 0:
+                        r = len(blk.data) / dt
+                        q.stealer_rate = (
+                            r
+                            if q.stealer_rate is None
+                            else 0.7 * q.stealer_rate + 0.3 * r
+                        )
                     q.cond.notify_all()
         except BaseException as e:  # surface in the caller
             errors.append(e)
@@ -1031,6 +1063,7 @@ def _start_host_stealers(q: _BlockQueue, results, errors, host_assist):
     # every core can steal; the native encode releases the GIL and the
     # device driver thread mostly blocks on transfers
     n_workers = os.cpu_count() or 2
+    q.n_stealers = n_workers
     threads = [
         threading.Thread(target=steal, name=f"s3steal{i}", daemon=True)
         for i in range(n_workers)
@@ -1043,8 +1076,42 @@ def _start_host_stealers(q: _BlockQueue, results, errors, host_assist):
 def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, reserve):
     """The device side of the queue: claim fixed-size batches (padded —
     every dispatch reuses one compiled geometry), keep two in flight,
-    and leave the post-feeding tail to the stealer cores (``reserve``)."""
+    and leave the post-feeding tail to the stealer cores (``reserve``).
+
+    Rate-aware demotion: the driver tracks its drain-to-drain
+    throughput; when stealers exist and the device's effective rate
+    falls far below their aggregate (sick chip, degraded link — a
+    measured failure mode on this box's tunnel), it stops claiming so
+    its in-flight batches can't straggle the corpus, then re-probes
+    with a single batch every ``_DEMOTE_PROBE_S`` and resumes when the
+    link recovers.  Pure scheduling: bytes are claim-order invariant."""
     pending: list = []
+    t_prev_drain = None
+
+    def note_drain(nbytes: int) -> None:
+        nonlocal t_prev_drain
+        now = time.monotonic()
+        if t_prev_drain is not None and now > t_prev_drain:
+            r = nbytes / (now - t_prev_drain)
+            with q.cond:
+                q.device_rate = (
+                    r if q.device_rate is None else 0.6 * q.device_rate + 0.4 * r
+                )
+                q.device_rate_samples += 1
+                if (
+                    not q.device_demoted
+                    and q.n_stealers > 0
+                    and q.stealer_rate
+                    and q.device_rate_samples >= _DEMOTE_MIN_SAMPLES
+                    and q.device_rate
+                    < _DEMOTE_FRACTION * q.stealer_rate * q.n_stealers
+                ):
+                    q.device_demoted = True
+                    q.device_probe_at = now + _DEMOTE_PROBE_S
+                    scheduler_stats["demotions"] += 1
+                    q.cond.notify_all()
+        t_prev_drain = now
+
     try:
         while True:
             chunk = None
@@ -1053,6 +1120,21 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                 while True:
                     if errors:
                         return
+                    probe_due = q.device_demoted and (
+                        time.monotonic() >= q.device_probe_at
+                    )
+                    if q.device_demoted and not probe_due:
+                        # benched: let the stealers own the queue; wake
+                        # for the next probe or for shutdown — but first
+                        # finish draining anything already in flight
+                        if pending:
+                            break
+                        if not q.feeding and not any(
+                            q.buckets[nm2] for nm2 in q.buckets
+                        ):
+                            break
+                        q.cond.wait(0.1)
+                        continue
                     for nm in sorted(q.buckets, reverse=True):
                         dq = q.buckets[nm]
                         remaining = len(dq)
@@ -1080,6 +1162,48 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                     q.cond.wait(0.005)
                 if chunk is None and not pending and not q.feeding:
                     break  # queue fully claimed; stealers own the rest
+                # a claim made while demoted is the recovery probe
+                probing = chunk is not None and q.device_demoted
+            if chunk is None and not pending:
+                # feed-starved: a drain-to-drain interval spanning this
+                # idle gap would fake a low device rate — reset it
+                t_prev_drain = None
+            if chunk is not None and probing:
+                # solo probe batch: dispatch + full synchronous drain,
+                # then decide whether the device has recovered
+                datas = [
+                    q.per_stream_blocks[si][bi].data for si, bi in chunk
+                ]
+                nbytes = sum(map(len, datas))
+                t0 = time.monotonic()
+                item = (
+                    chunk,
+                    _dispatch_chunk(datas, this_nm, mesh, mode, pad_to=batch_size),
+                )
+                _drain_into(results, q.per_stream_blocks, item, this_nm, mode)
+                for key in chunk:  # fast_huff/tail futures: wait them out
+                    res = results[key]
+                    if hasattr(res, "result"):
+                        res.result()
+                dt = time.monotonic() - t0
+                rate = nbytes / dt if dt > 0 else 0.0
+                with q.cond:
+                    if (
+                        not q.stealer_rate
+                        or rate
+                        >= _DEMOTE_FRACTION * q.stealer_rate * q.n_stealers
+                    ):
+                        q.device_demoted = False
+                        q.device_rate = rate
+                        q.device_rate_samples = 1
+                        scheduler_stats["repromotions"] += 1
+                    else:
+                        q.device_probe_at = (
+                            time.monotonic() + _DEMOTE_PROBE_S
+                        )
+                    q.cond.notify_all()
+                t_prev_drain = time.monotonic()
+                continue
             if chunk is not None:
                 datas = [
                     q.per_stream_blocks[si][bi].data for si, bi in chunk
@@ -1109,6 +1233,7 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                                 datas, this_nm, mesh, mode, pad_to=pad
                             ),
                         ),
+                        sum(map(len, datas)),
                     )
                 )
                 if len(pending) < _PIPELINE_DEPTH:
@@ -1122,8 +1247,9 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                 if len(pending) >= _PIPELINE_DEPTH or _batch_ready(
                     pending[0][1][1][0]
                 ):
-                    nm0, item = pending.pop(0)
+                    nm0, item, nbytes = pending.pop(0)
                     _drain_into(results, q.per_stream_blocks, item, nm0, mode)
+                    note_drain(nbytes)
                     with q.cond:  # wake the incremental assembler
                         q.cond.notify_all()
                 elif chunk is None:
@@ -1131,8 +1257,9 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
 
                     _time.sleep(0.002)  # nothing claimable, batch not ready
         while pending:
-            nm0, item = pending.pop(0)
+            nm0, item, nbytes = pending.pop(0)
             _drain_into(results, q.per_stream_blocks, item, nm0, mode)
+            note_drain(nbytes)
             with q.cond:
                 q.cond.notify_all()
     except BaseException as e:  # surface in the caller

@@ -219,6 +219,97 @@ class TestDeviceRle2Pipeline:
         assert decompress_starch_bytes(a) == bed
 
 
+class TestDeviceDemotion:
+    def test_slow_device_is_benched(self, rng, monkeypatch):
+        """A device whose effective rate collapses (sick chip / degraded
+        link — an observed failure mode) must be demoted by the
+        scheduler instead of straggling the corpus: the host stealers
+        finish, bytes identical, and the run ends in a small multiple
+        of the stealer-only time."""
+        import bz2
+        import time as _time
+
+        from starch3_tpu import runtime
+        from starch3_tpu.parallel import pipeline
+
+        if runtime.get_lib() is None:
+            pytest.skip("needs the native runtime (stealer path)")
+
+        al = np.frombuffer(b"0123456789p-\t\n", np.uint8)
+        texts = [
+            al[rng.integers(0, al.size, 30_000)].tobytes() for _ in range(80)
+        ]
+        # pin both sides' rates so the test is schedule-deterministic:
+        # stealers throttled to ~0.6 MB/s/core, mock device ~0.11 MB/s
+        from starch3_tpu.codec import encoder as enc_mod
+
+        real_fragment = enc_mod.encode_block_fragment
+
+        def throttled_fragment(blk):
+            _time.sleep(0.05)
+            return real_fragment(blk)
+
+        monkeypatch.setattr(
+            enc_mod, "encode_block_fragment", throttled_fragment
+        )
+        monkeypatch.setattr(pipeline, "_DEMOTE_MIN_SAMPLES", 1)
+
+        def slow_dispatch(block_datas, n_max, mesh, mode="ranks", pad_to=None):
+            if isinstance(n_max, tuple):
+                n_max, _bits = n_max
+            rows = []
+            useds = []
+            lens = np.ones(max(len(block_datas), pad_to or 0), np.int32)
+            for i, data in enumerate(block_datas):
+                arr = np.frombuffer(data, np.uint8)
+                used = np.bincount(arr, minlength=256) > 0
+                u2s = (np.cumsum(used) - 1).astype(np.uint8)
+                last, ptr = runtime.bwt_native(arr)
+                ranks = runtime.mtf_ranks_native(
+                    u2s[last].astype(np.int32), int(used.sum())
+                ).astype(np.uint32)
+                padded = np.zeros(n_max, np.uint32)
+                padded[: ranks.size] = ranks
+                r8 = padded.reshape(n_max // 8, 8)
+                word = r8[:, 0].copy()
+                for k in range(1, 8):
+                    word |= r8[:, k] << (4 * k)
+                rows.append(
+                    np.concatenate(
+                        [np.asarray([ptr, 0], np.int32), word.view(np.int32)]
+                    )
+                )
+                useds.append(used)
+                lens[i] = arr.size
+            out = np.zeros((lens.size, 2 + n_max // 8), np.int32)
+            for i, row in enumerate(rows):
+                out[i] = row
+
+            class SlowBatch:
+                def is_ready(self):
+                    return True
+
+                def __array__(self, dtype=None, copy=None):
+                    _time.sleep(0.8)  # pathological device turnaround
+                    return out
+
+            return SlowBatch(), {
+                "b": len(block_datas), "useds": useds, "bits": 4, "lens": lens,
+            }
+
+        monkeypatch.setattr(pipeline, "_dispatch_chunk", slow_dispatch)
+        before = pipeline.scheduler_stats["demotions"]
+        t0 = _time.perf_counter()
+        streams = pipeline.encode_streams(texts, host_assist=True)
+        dt = _time.perf_counter() - t0
+        for i, (t, s) in enumerate(zip(texts, streams)):
+            assert s.data == bz2.compress(t, 9), i
+        assert pipeline.scheduler_stats["demotions"] > before
+        # 24 blocks at native speed is < 1 s; a non-demoted mock device
+        # would spend 0.8 s per claimed batch serialized at the drain
+        assert dt < 12, f"demotion did not cap the straggler ({dt:.1f}s)"
+
+
 class TestPallasInterpretShardMap:
     def test_pallas_interpret_under_shard_map_8dev(self, rng, monkeypatch):
         """Real Pallas kernels (interpret mode off-TPU) execute inside
