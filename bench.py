@@ -475,6 +475,15 @@ def main() -> int:
         guarded("streaming_seconds", _streaming)
         guarded("per_chip_stage_rates", _per_chip_stage_rates)
         guarded("tunnel_health", _tunnel_health)
+
+        def _sched_stats():
+            # demotions > 0 means the scheduler benched the device at
+            # some point during this worker's runs (degraded link)
+            from starch3_tpu.parallel.pipeline import scheduler_stats
+
+            return dict(scheduler_stats)
+
+        guarded("scheduler_stats", _sched_stats)
         sys.stdout.write(json.dumps(result) + "\n")
         return 0
 
@@ -642,6 +651,8 @@ def main() -> int:
             device_only["segment_errors"] = jax["segment_errors"]
         if "tunnel_health" in jax:
             device_only["tunnel_health"] = jax["tunnel_health"]
+        if "scheduler_stats" in jax:
+            device_only["scheduler_stats"] = jax["scheduler_stats"]
         if "streaming_seconds" in jax:
             device_only["streaming_jax_mb_s"] = round(
                 jax["in"] / jax["streaming_seconds"] / 1e6, 3
