@@ -905,10 +905,16 @@ _PIPELINE_DEPTH = 2
 _DEMOTE_FRACTION = 0.5
 _DEMOTE_PROBE_S = 15.0
 _DEMOTE_MIN_SAMPLES = 3
+# a dispatched batch not transfer-ready after this long is abandoned:
+# its blocks go back to the queue for the stealers and the device is
+# benched (observed failure mode: mid-encode interconnect outage where
+# a D2H fetch hangs for minutes-to-hours — without this the encode
+# hangs on blocks the device claimed but can never deliver)
+_ABANDON_S = 30.0
 
 # observability: cumulative scheduler events for this process (tests and
 # the bench read these; encode results never depend on them)
-scheduler_stats = {"demotions": 0, "repromotions": 0}
+scheduler_stats = {"demotions": 0, "repromotions": 0, "abandoned_batches": 0}
 
 
 class _BlockQueue:
@@ -950,6 +956,7 @@ class _BlockQueue:
         # letting its claimed batches straggle the whole corpus.
         # Scheduling only — archive bytes are claim-order invariant.
         self.n_stealers = 0
+        self.live_stealers = 0  # still-running stealer threads
         self.stealer_rate = None  # EMA bytes/s per stealer core
         self.device_rate = None  # EMA bytes/s (drain-to-drain)
         self.device_rate_samples = 0
@@ -1012,6 +1019,8 @@ def _start_host_stealers(q: _BlockQueue, results, errors, host_assist):
     from starch3_tpu.codec.encoder import encode_block_fragment
 
     def steal():
+        with q.cond:
+            q.live_stealers += 1
         try:
             while True:
                 claim = None
@@ -1059,6 +1068,10 @@ def _start_host_stealers(q: _BlockQueue, results, errors, host_assist):
                     q.cond.notify_all()
         except BaseException as e:  # surface in the caller
             errors.append(e)
+        finally:
+            with q.cond:
+                q.live_stealers -= 1
+                q.cond.notify_all()
 
     # every core can steal; the native encode releases the GIL and the
     # device driver thread mostly blocks on transfers
@@ -1071,6 +1084,37 @@ def _start_host_stealers(q: _BlockQueue, results, errors, host_assist):
     for t in threads:
         t.start()
     return threads
+
+
+def _abandon_batch(q, results, entry):
+    """Take a stuck batch away from the device and bench it.  Blocks go
+    back to the queue front for the stealers; if no stealer thread is
+    still alive (they exit when the queue momentarily drains after
+    feeding), the driver host-encodes them right here — either way the
+    encode terminates.  The device handles are dropped; if the transfer
+    ever completes the runtime frees them, and a later duplicate encode
+    of a re-enqueued block is benign (per-block byte determinism)."""
+    nm, (chunk, _handles), _nbytes, _t0 = entry
+    with q.cond:
+        q.device_demoted = True
+        q.device_probe_at = time.monotonic() + _DEMOTE_PROBE_S
+        scheduler_stats["demotions"] += 1
+        scheduler_stats["abandoned_batches"] += 1
+        inline = q.live_stealers == 0
+        if not inline:
+            dq = q.buckets.setdefault(nm, q._deque())
+            for key in reversed(chunk):
+                dq.appendleft(key)
+        q.cond.notify_all()
+    if inline:
+        from starch3_tpu.codec.encoder import encode_block_fragment
+
+        for si, bi in chunk:
+            results[(si, bi)] = encode_block_fragment(
+                q.per_stream_blocks[si][bi]
+            )
+        with q.cond:
+            q.cond.notify_all()
 
 
 def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, reserve):
@@ -1170,7 +1214,10 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                 t_prev_drain = None
             if chunk is not None and probing:
                 # solo probe batch: dispatch + full synchronous drain,
-                # then decide whether the device has recovered
+                # then decide whether the device has recovered.  The
+                # drain is bounded: a probe against a still-dead link
+                # gets host-encoded inline after _ABANDON_S instead of
+                # blocking the driver forever.
                 datas = [
                     q.per_stream_blocks[si][bi].data for si, bi in chunk
                 ]
@@ -1180,6 +1227,20 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                     chunk,
                     _dispatch_chunk(datas, this_nm, mesh, mode, pad_to=batch_size),
                 )
+                while (
+                    not _batch_ready(item[1][0])
+                    and time.monotonic() - t0 < _ABANDON_S
+                    and not errors
+                ):
+                    import time as _time
+
+                    _time.sleep(0.01)
+                if not _batch_ready(item[1][0]):
+                    _abandon_batch(
+                        q, results, (this_nm, item, nbytes, t0)
+                    )
+                    t_prev_drain = None
+                    continue
                 _drain_into(results, q.per_stream_blocks, item, this_nm, mode)
                 for key in chunk:  # fast_huff/tail futures: wait them out
                     res = results[key]
@@ -1234,20 +1295,50 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                             ),
                         ),
                         sum(map(len, datas)),
+                        time.monotonic(),
                     )
                 )
                 if len(pending) < _PIPELINE_DEPTH:
                     continue  # keep _PIPELINE_DEPTH batches in flight
             if pending:
-                # pipeline full (or nothing claimable): drain the oldest.
+                # Pipeline full (or nothing claimable): drain the oldest.
                 # When there may still be claimable work soon, only block
                 # on a batch whose transfer already landed — blocking on
                 # an in-flight batch would stall the next dispatch for
-                # the whole batch turnaround.
-                if len(pending) >= _PIPELINE_DEPTH or _batch_ready(
-                    pending[0][1][1][0]
+                # the whole batch turnaround.  While over-full, poll
+                # instead of blocking blind: a batch not transfer-ready
+                # after _ABANDON_S goes back to the queue for the
+                # stealers (mid-encode link outage: a blocking drain
+                # would hang the whole encode on blocks only the device
+                # holds).
+                while pending:
+                    if errors:
+                        return
+                    head = pending[0]
+                    if _batch_ready(head[1][1][0]):
+                        break
+                    if (
+                        q.n_stealers > 0
+                        and time.monotonic() - head[3] > _ABANDON_S
+                    ):
+                        # stale at ANY depth: an under-full stuck head
+                        # would otherwise never drain once the claim
+                        # loop stops feeding new batches (demotion)
+                        _abandon_batch(q, results, pending.pop(0))
+                        t_prev_drain = None
+                        continue
+                    if len(pending) < _PIPELINE_DEPTH:
+                        break  # room to dispatch more; don't park here
+                    if q.n_stealers == 0:
+                        break  # no fallback workers: blocking drain
+                    import time as _time
+
+                    _time.sleep(0.005)
+                if pending and (
+                    len(pending) >= _PIPELINE_DEPTH
+                    or _batch_ready(pending[0][1][1][0])
                 ):
-                    nm0, item, nbytes = pending.pop(0)
+                    nm0, item, nbytes, _t0 = pending.pop(0)
                     _drain_into(results, q.per_stream_blocks, item, nm0, mode)
                     note_drain(nbytes)
                     with q.cond:  # wake the incremental assembler
@@ -1257,7 +1348,19 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
 
                     _time.sleep(0.002)  # nothing claimable, batch not ready
         while pending:
-            nm0, item, nbytes = pending.pop(0)
+            head = pending[0]
+            if (
+                q.n_stealers > 0
+                and not _batch_ready(head[1][1][0])
+            ):
+                if time.monotonic() - head[3] > _ABANDON_S:
+                    _abandon_batch(q, results, pending.pop(0))
+                    continue
+                import time as _time
+
+                _time.sleep(0.005)
+                continue
+            nm0, item, nbytes, _t0 = pending.pop(0)
             _drain_into(results, q.per_stream_blocks, item, nm0, mode)
             note_drain(nbytes)
             with q.cond:

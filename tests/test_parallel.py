@@ -310,6 +310,62 @@ class TestDeviceDemotion:
         assert dt < 12, f"demotion did not cap the straggler ({dt:.1f}s)"
 
 
+    def test_dead_device_batches_are_abandoned(self, rng, monkeypatch):
+        """Mid-encode link outage: the device claims batches and never
+        delivers them.  The driver must abandon stuck batches after
+        _ABANDON_S (blocks re-enqueued for the stealers, or host-encoded
+        inline when no stealer is left) so the encode terminates with
+        correct bytes instead of hanging on blocks only the device
+        holds."""
+        import bz2
+        import time as _time
+
+        from starch3_tpu import runtime
+        from starch3_tpu.parallel import pipeline
+
+        if runtime.get_lib() is None:
+            pytest.skip("needs the native runtime (stealer path)")
+
+        al = np.frombuffer(b"0123456789p-\t\n", np.uint8)
+        texts = [
+            al[rng.integers(0, al.size, 30_000)].tobytes() for _ in range(20)
+        ]
+
+        class DeadBatch:
+            def is_ready(self):
+                return False
+
+            def __array__(self, dtype=None, copy=None):
+                raise AssertionError(
+                    "drained a batch the dead device never delivered"
+                )
+
+        def dead_dispatch(block_datas, n_max, mesh, mode="ranks", pad_to=None):
+            if isinstance(n_max, tuple):
+                n_max, _bits = n_max
+            lens = np.ones(max(len(block_datas), pad_to or 0), np.int32)
+            useds = []
+            for i, data in enumerate(block_datas):
+                arr = np.frombuffer(data, np.uint8)
+                useds.append(np.bincount(arr, minlength=256) > 0)
+                lens[i] = arr.size
+            return DeadBatch(), {
+                "b": len(block_datas), "useds": useds, "bits": 4, "lens": lens,
+            }
+
+        monkeypatch.setattr(pipeline, "_dispatch_chunk", dead_dispatch)
+        monkeypatch.setattr(pipeline, "_ABANDON_S", 0.4)
+        monkeypatch.setattr(pipeline, "_DEMOTE_PROBE_S", 0.5)
+        before = pipeline.scheduler_stats["abandoned_batches"]
+        t0 = _time.perf_counter()
+        streams = pipeline.encode_streams(texts, host_assist=True)
+        dt = _time.perf_counter() - t0
+        for i, (t, s) in enumerate(zip(texts, streams)):
+            assert s.data == bz2.compress(t, 9), i
+        assert pipeline.scheduler_stats["abandoned_batches"] > before
+        assert dt < 30, f"dead-device encode took {dt:.1f}s"
+
+
 class TestPallasInterpretShardMap:
     def test_pallas_interpret_under_shard_map_8dev(self, rng, monkeypatch):
         """Real Pallas kernels (interpret mode off-TPU) execute inside
