@@ -1213,43 +1213,44 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                 # idle gap would fake a low device rate — reset it
                 t_prev_drain = None
             if chunk is not None and probing:
-                # solo probe batch: dispatch + full synchronous drain,
-                # then decide whether the device has recovered.  The
-                # drain is bounded: a probe against a still-dead link
-                # gets host-encoded inline after _ABANDON_S instead of
-                # blocking the driver forever.
+                # Non-hostage recovery probe: dispatch the batch, then
+                # immediately host-encode the SAME blocks inline so the
+                # assembler never waits on a possibly-dead device (a
+                # probe that held its blocks for _ABANDON_S injected a
+                # ~30 s stall into every encode during a measured
+                # outage).  The device handles serve purely as a rate
+                # signal: ready within the patience window -> measure
+                # and maybe repromote; otherwise drop them.  The
+                # duplicate encode is ~3 blocks of host work per probe
+                # period and byte-identical by construction.
                 datas = [
                     q.per_stream_blocks[si][bi].data for si, bi in chunk
                 ]
                 nbytes = sum(map(len, datas))
                 t0 = time.monotonic()
-                item = (
-                    chunk,
-                    _dispatch_chunk(datas, this_nm, mesh, mode, pad_to=batch_size),
-                )
+                handles = _dispatch_chunk(
+                    datas, this_nm, mesh, mode, pad_to=batch_size
+                )[0]
+                from starch3_tpu.codec.encoder import encode_block_fragment
+
+                for si, bi in chunk:
+                    results[(si, bi)] = encode_block_fragment(
+                        q.per_stream_blocks[si][bi]
+                    )
+                with q.cond:
+                    q.cond.notify_all()
                 while (
-                    not _batch_ready(item[1][0])
+                    not _batch_ready(handles)
                     and time.monotonic() - t0 < _ABANDON_S
                     and not errors
                 ):
                     import time as _time
 
                     _time.sleep(0.01)
-                if not _batch_ready(item[1][0]):
-                    _abandon_batch(
-                        q, results, (this_nm, item, nbytes, t0)
-                    )
-                    t_prev_drain = None
-                    continue
-                _drain_into(results, q.per_stream_blocks, item, this_nm, mode)
-                for key in chunk:  # fast_huff/tail futures: wait them out
-                    res = results[key]
-                    if hasattr(res, "result"):
-                        res.result()
                 dt = time.monotonic() - t0
                 rate = nbytes / dt if dt > 0 else 0.0
                 with q.cond:
-                    if (
+                    if _batch_ready(handles) and (
                         not q.stealer_rate
                         or rate
                         >= _DEMOTE_FRACTION * q.stealer_rate * q.n_stealers
@@ -1263,7 +1264,8 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                             time.monotonic() + _DEMOTE_PROBE_S
                         )
                     q.cond.notify_all()
-                t_prev_drain = time.monotonic()
+                del handles
+                t_prev_drain = None
                 continue
             if chunk is not None:
                 datas = [
