@@ -36,6 +36,17 @@ import time
 
 import numpy as np
 
+# everything here runs against a mock device; keep JAX off the (possibly
+# degraded) TPU tunnel — the only jax use is CPU jnp.asarray in the
+# drain being exercised.  Unconditional: the harness is meaningless if
+# host-side staging arrays ride a real device link.  This environment's
+# TPU plugin registers at interpreter start and ignores the env var,
+# so set the config knob too (same pattern as tests/conftest.py).
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402  (before any backend use)
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -110,10 +121,347 @@ class MockBatch:
         return self._rows
 
 
-def run_mocked(texts, rows, offered_mb_s: float | None):
-    """encode_streams_feed with the device step mocked at
-    ``offered_mb_s`` (None = infinitely fast device)."""
+# ---------------------------------------------------------------------------
+# Round-5 crossover harness: fast vs device_huffman end-to-end against a
+# mock device with a MODELED LINK (RTT + bandwidths + serialized compute)
+# driving the real _drain_fast_huff finisher path.  VERDICT r04 missing
+# #1: the pod-scale claim rests on device_huffman winning at production
+# RTT (~0.3 ms) — this executes that configuration without the hardware.
+# Mode behavior spec: bundled bzip2 compress.c:239-600 (sendMTFValues
+# group refinement) via /root/reference/third-party/bzip2-1.0.6.tar.gz.
+# ---------------------------------------------------------------------------
+
+
+class _Timeline:
+    """A serialized resource: device compute, or one link direction."""
+
+    def __init__(self):
+        self.free_at = 0.0
+        self.lock = threading.Lock()
+
+    def occupy(self, start: float, dur: float) -> float:
+        with self.lock:
+            t0 = max(start, self.free_at)
+            t1 = t0 + dur
+            self.free_at = t1
+        return t1
+
+
+class LinkModel:
+    """Latency/throughput model of one chip behind a host link.
+
+    Compute is serialized on a single device timeline (one chip);
+    uploads/downloads are serialized per direction; every device call
+    pays one ``rtt`` on top.  Rates in MB/s; ``device_mb_s`` is the
+    fast-mode full-step on-chip rate (transformed bytes/s); None =
+    infinitely fast compute."""
+
+    def __init__(self, rtt_ms: float, h2d_mb_s: float, d2h_mb_s: float,
+                 device_mb_s: float | None):
+        self.rtt = rtt_ms / 1e3
+        self.up = _Timeline()
+        self.down = _Timeline()
+        self.dev = _Timeline()
+        self.h2d = h2d_mb_s * 1e6
+        self.d2h = d2h_mb_s * 1e6
+        self.rate = device_mb_s * 1e6 if device_mb_s else None
+
+    def dispatch_ready(self, upload_bytes: int, compute_bytes: int,
+                       dl_bytes: int) -> float:
+        t = self.up.occupy(time.perf_counter(), upload_bytes / self.h2d)
+        if self.rate:
+            t = self.dev.occupy(t, compute_bytes / self.rate)
+        return self.down.occupy(t + self.rtt, dl_bytes / self.d2h)
+
+    def trip_ready(self, compute_s: float, dl_bytes: int) -> float:
+        t = self.dev.occupy(time.perf_counter(), compute_s)
+        return self.down.occupy(t + self.rtt, dl_bytes / self.d2h)
+
+
+class MArr:
+    """Mock device array: .value on the 'device', readable after
+    ``ready_at``; carries .shape and an optional back-reference to its
+    batch state (the mock analogues of handles staying on device)."""
+
+    def __init__(self, value, ready_at: float, state=None, shape=None):
+        self.value = value
+        self._ready_at = ready_at
+        self.state = state
+        self.shape = shape if shape is not None else getattr(value, "shape", None)
+
+    def is_ready(self) -> bool:
+        return time.perf_counter() >= self._ready_at
+
+    def __array__(self, dtype=None, copy=None):
+        wait = self._ready_at - time.perf_counter()
+        if wait > 0:
+            time.sleep(wait)
+        return self.value
+
+
+def precompute_huff(texts):
+    """Per distinct block: every device-side product of the fast_huff
+    path, computed once with the same math the kernels use (numpy
+    mirror of ops/huff_jax.cost_and_select + ops/bitpack_jax
+    .emit_coded_padded), plus the per-iteration inputs the REAL host
+    refinement must reproduce (asserted during the timed run — any
+    divergence fails loudly instead of skewing the measurement)."""
+    from starch3_tpu.codec import huffman
+    from starch3_tpu.codec.mtf import mtf_rle2_from_ranks
+    from starch3_tpu.codec.rle1 import rle1_split_blocks
+    from starch3_tpu.ops.huff_jax import ALPHA_MAX, GROUP_SIZE
+    from starch3_tpu.parallel.pipeline import _bucket_for
+    from starch3_tpu.runtime import (
+        bwt_native,
+        mtf_ranks_native,
+        refine_lengths_batch_native,
+    )
+
+    pre: dict[bytes, dict] = {}
+    for t in dict.fromkeys(texts):
+        for blk in rle1_split_blocks(t, 9):
+            if blk.data in pre:
+                continue
+            arr = np.frombuffer(blk.data, np.uint8)
+            n = arr.size
+            n_max = _bucket_for(n)
+            used = np.bincount(arr, minlength=256) > 0
+            assert int(used.sum()) <= 16, "harness models the bits==4 tier"
+            u2s = (np.cumsum(used) - 1).astype(np.uint8)
+            last, ptr = bwt_native(arr)
+            ranks = mtf_ranks_native(
+                u2s[last].astype(np.int32), int(used.sum())
+            )
+            mr = mtf_rle2_from_ranks(np.asarray(ranks, np.int64), used)
+            syms = np.asarray(mr.symbols, np.int64)
+            freq = np.asarray(mr.freq, np.int64)
+            alpha = int(used.sum()) + 2
+            m = syms.size
+            ng = huffman.n_groups_for(m)
+            g_max = (n_max + 2 + GROUP_SIZE - 1) // GROUP_SIZE
+            gid = np.arange(m, dtype=np.int64) // GROUP_SIZE
+            n_sel = int(gid[-1]) + 1
+            hist = np.zeros((g_max, ALPHA_MAX), np.int64)
+            hist[:n_sel] = np.bincount(
+                gid * ALPHA_MAX + syms, minlength=n_sel * ALPHA_MAX
+            ).reshape(n_sel, ALPHA_MAX)
+            # refinement: identical layout/order to _drain_fast_huff
+            lens = np.zeros((1, 6, ALPHA_MAX), np.int32)
+            lens[0, :ng, :alpha] = huffman.initial_lengths(
+                freq[:alpha], alpha, m
+            )
+            lens[0, :ng, alpha:] = huffman.GREATER_ICOST
+            masks = np.zeros(6, bool)
+            masks[:ng] = True
+            iters = []
+            lens_iters = []
+            for _ in range(huffman.N_ITERS):
+                lens_iters.append(lens[0].copy())
+                cost = hist @ lens[0].astype(np.int64).T  # (g_max, 6)
+                cost[:, ~masks] = 1 << 30
+                sel = np.argmin(cost, axis=1).astype(np.int32)
+                rfreq = np.zeros((6, ALPHA_MAX), np.int32)
+                np.add.at(rfreq, sel, hist.astype(np.int32))
+                iters.append((sel[:n_sel].copy(), rfreq))
+                rfreq64 = np.ascontiguousarray(rfreq[None], np.int64)
+                if not refine_lengths_batch_native(
+                    rfreq64, np.asarray([ng]), np.asarray([alpha]), lens
+                ):
+                    for t2 in range(ng):
+                        lens[0, t2, :alpha] = huffman.make_code_lengths(
+                            rfreq[t2, :alpha].astype(np.int64), alpha
+                        )
+            luts = np.zeros(6 * ALPHA_MAX, np.int32)
+            for t2 in range(ng):
+                codes = huffman.assign_codes(lens[0, t2, :alpha].astype(np.int64))
+                luts[t2 * ALPHA_MAX : t2 * ALPHA_MAX + alpha] = (
+                    codes.astype(np.int64) << 5
+                ) | lens[0, t2, :alpha]
+            # emit: numpy mirror of emit_coded_padded (MSB-first words)
+            sel_final = iters[-1][0]
+            sel_per_sym = np.repeat(
+                sel_final.astype(np.int64), GROUP_SIZE
+            )[:m]
+            entry = luts[sel_per_sym * ALPHA_MAX + syms]
+            w = (entry & 31).astype(np.int64)
+            v = (entry >> 5).astype(np.uint64)
+            ends = np.cumsum(w)
+            starts = ends - w
+            total = int(ends[-1])
+            word = (starts >> 5).astype(np.int64)
+            off = starts & 31
+            rs = 32 - off - w
+            hi = np.where(
+                rs >= 0, v << rs.clip(0).astype(np.uint64),
+                v >> (-rs).clip(0).astype(np.uint64),
+            )
+            lo = np.where(
+                rs >= 0, np.uint64(0),
+                v << (32 + rs).clip(0, 31).astype(np.uint64),
+            )
+            nw = total // 32 + 2
+            words = np.zeros(nw, np.uint64)
+            np.add.at(words, word, hi & 0xFFFFFFFF)
+            np.add.at(words, word + 1, lo & 0xFFFFFFFF)
+            small = np.zeros(263, np.int32)
+            small[0] = ptr
+            small[1] = m
+            small[2] = 0  # ties
+            k = min(260, freq.size)
+            small[3 : 3 + k] = freq[:k]
+            pre[blk.data] = {
+                "n": n, "n_max": n_max, "g_max": g_max, "m": m,
+                "alpha": alpha, "ng": ng, "used": used, "small": small,
+                "iters": iters, "lens_iters": lens_iters, "luts": luts,
+                "words": (words & 0xFFFFFFFF).astype(np.uint32),
+                "total": total,
+            }
+    return pre
+
+
+class _HuffBatchState:
+    """Mock device residency of one dispatched fast_huff batch."""
+
+    def __init__(self, entries, b, b_pad, g_max):
+        self.entries = entries
+        self.b = b
+        self.b_pad = b_pad
+        self.g_max = g_max
+        self.iter = 0
+        self.lock = threading.Lock()
+
+
+def run_mocked_huff(texts, pre, link: LinkModel):
+    """encode_streams_feed in device_huffman mode with every device
+    call mocked through ``link``; the host half of the drain — initial
+    tables, native length heaps, canonical codes, header serialization,
+    packed-word splice, assembly — runs for real.  Returns
+    (transformed MB/s, streams)."""
+    from starch3_tpu.ops.huff_jax import ALPHA_MAX
     from starch3_tpu.parallel import pipeline
+    from starch3_tpu.runtime import dense_pack4_native
+
+    def mock_dispatch(block_datas, n_max, mesh, mode="ranks", pad_to=None):
+        assert mode == "fast_huff"
+        if isinstance(n_max, tuple):
+            n_max, _bits = n_max
+        b = len(block_datas)
+        b_pad = max(b, pad_to or 0)
+        entries = [pre[d] for d in block_datas]
+        # realism: the real dispatch dense-packs every block natively
+        # on this (driver) thread before the upload
+        if dense_pack4_native is not None:
+            buf = np.zeros(n_max // 2, np.uint8)
+            for d in block_datas:
+                dense_pack4_native(np.frombuffer(d, np.uint8), buf)
+        small = np.zeros((b_pad, 263), np.int32)
+        for i, e in enumerate(entries):
+            small[i] = e["small"]
+        nbytes = sum(e["n"] for e in entries)
+        ready = link.dispatch_ready(nbytes // 2, nbytes, small.nbytes)
+        st = _HuffBatchState(entries, b, b_pad, entries[0]["g_max"])
+        return (
+            (MArr(small, ready), st, None, st),
+            {"b": b, "useds": [e["used"] for e in entries]},
+        )
+
+    def mock_cost_select():
+        def f(hist_state, lens_j, masks_j):
+            st = hist_state
+            with st.lock:
+                k = st.iter
+                st.iter += 1
+            lens_np = np.asarray(lens_j)
+            sel = np.zeros((st.b_pad, st.g_max), np.int32)
+            rfreq = np.zeros((st.b_pad, 6, ALPHA_MAX), np.int32)
+            for i, e in enumerate(st.entries):
+                assert np.array_equal(lens_np[i], e["lens_iters"][k]), (
+                    "host refinement diverged from the precomputed "
+                    f"device-side iteration {k}"
+                )
+                s, rf = e["iters"][k]
+                sel[i, : s.size] = s
+                rfreq[i] = rf
+            ready = link.trip_ready(1e-4, rfreq.nbytes)
+            return MArr(sel, 0.0, state=st), MArr(rfreq, ready)
+
+        return f
+
+    def mock_emit(n_max):
+        w_cap = pipeline._emit_w_cap(n_max)
+
+        def f(syms_obj, m_d, sel_obj, luts_j):
+            st = sel_obj.state
+            luts_np = np.asarray(luts_j)
+            nw_store = max((e["total"] + 31) // 32 for e in st.entries) + 1
+            words = np.zeros((st.b_pad, nw_store), np.uint32)
+            totals = np.zeros(st.b_pad, np.int32)
+            for i, e in enumerate(st.entries):
+                assert np.array_equal(luts_np[i], e["luts"]), (
+                    "final code tables diverged from precompute"
+                )
+                words[i, : e["words"].size] = e["words"]
+                totals[i] = e["total"]
+            # emit scatter-add is ~MTF-weight work: 1/3 of the full step
+            comp = (
+                sum(e["n"] for e in st.entries) / (3 * link.rate)
+                if link.rate
+                else 0.0
+            )
+            ready = link.trip_ready(comp, totals.nbytes)
+            return (
+                MArr(words, 0.0, state=st, shape=(st.b_pad, w_cap)),
+                MArr(totals, ready),
+            )
+
+        return f
+
+    def mock_batch_head(nw):
+        def f(arr_obj):
+            val = arr_obj.value
+            out = np.zeros((val.shape[0], nw), val.dtype)
+            k = min(nw, val.shape[1])
+            out[:, :k] = val[:, :k]
+            ready = link.trip_ready(1e-5, out.nbytes)
+            return MArr(out, ready)
+
+        return f
+
+    saved = (
+        pipeline._dispatch_chunk,
+        pipeline._jitted_cost_select,
+        pipeline._jitted_emit_coded,
+        pipeline._jitted_batch_head,
+    )
+    pipeline._dispatch_chunk = mock_dispatch
+    pipeline._jitted_cost_select = mock_cost_select
+    pipeline._jitted_emit_coded = mock_emit
+    pipeline._jitted_batch_head = mock_batch_head
+    try:
+        t0 = time.perf_counter()
+        streams = pipeline.encode_streams_feed(
+            iter(texts), host_assist=False, device_huffman=True
+        )
+        dt = time.perf_counter() - t0
+    finally:
+        (
+            pipeline._dispatch_chunk,
+            pipeline._jitted_cost_select,
+            pipeline._jitted_emit_coded,
+            pipeline._jitted_batch_head,
+        ) = saved
+    total_bytes = sum(map(len, texts))
+    return total_bytes / dt / 1e6, streams
+
+
+def run_mocked(texts, rows, offered_mb_s: float | None, link: LinkModel | None = None):
+    """encode_streams_feed with the device step mocked at
+    ``offered_mb_s`` (None = infinitely fast device).  With ``link``,
+    the batch instead rides the full link model (upload + serialized
+    compute + RTT + download) — the fast-mode half of the crossover
+    experiment."""
+    from starch3_tpu.parallel import pipeline
+    from starch3_tpu.runtime import dense_pack4_native
 
     state = {"free_at": 0.0}
     lock = threading.Lock()
@@ -133,10 +481,18 @@ def run_mocked(texts, rows, offered_mb_s: float | None):
             useds.append(used)
             lens[i] = n
             total += n
-        now = time.perf_counter()
-        if offered_mb_s is None:
-            ready = now
+        if link is not None:
+            # realism parity with the huff mock: the real dispatch
+            # dense-packs each block natively on this thread
+            if dense_pack4_native is not None:
+                buf = np.zeros(n_max // 2, np.uint8)
+                for d in block_datas:
+                    dense_pack4_native(np.frombuffer(d, np.uint8), buf)
+            ready = link.dispatch_ready(total // 2, total, out.nbytes)
+        elif offered_mb_s is None:
+            ready = time.perf_counter()
         else:
+            now = time.perf_counter()
             with lock:
                 start = max(now, state["free_at"])
                 ready = start + total / (offered_mb_s * 1e6)
@@ -310,12 +666,84 @@ def huff_residue_rate(texts):
     return round(total / dt / 1e6, 1)
 
 
+def run_crossover(args) -> dict:
+    """fast vs device_huffman end-to-end at two link profiles:
+    'production' (PCIe-class: 0.3 ms RTT, 10 GB/s each way) and
+    'tunnel' (this box's measured link: ~25 ms RTT, 76/45 MB/s).
+    Offered rates model the AGGREGATE on-chip fast-step rate the host
+    process is fed by (1 chip ~ 130 MB/s measured, BENCH_r04
+    per_chip_stage_rates; higher rates = more chips behind one host).
+    Output bytes are asserted identical across both modes and every
+    link profile (schedule- and mode-invariance)."""
+    texts = make_corpus(args.copies)
+    total = sum(map(len, texts))
+    rows = precompute_rows(texts)
+    pre = precompute_huff(texts)
+
+    profiles = {
+        "production": dict(rtt_ms=0.3, h2d=10_000.0, d2h=10_000.0),
+        "tunnel": dict(rtt_ms=25.0, h2d=76.0, d2h=45.0),
+    }
+    rates = [float(r) for r in args.cross_rates.split(",")]
+    sweep: dict = {}
+    want = None
+    for name, p in profiles.items():
+        sweep[name] = {}
+        for rate in rates:
+            fast_mb_s, s1 = run_mocked(
+                texts, rows, rate,
+                link=LinkModel(p["rtt_ms"], p["h2d"], p["d2h"], rate),
+            )
+            huff_mb_s, s2 = run_mocked_huff(
+                texts, pre,
+                LinkModel(p["rtt_ms"], p["h2d"], p["d2h"], rate),
+            )
+            d1 = [s.data for s in s1]
+            d2 = [s.data for s in s2]
+            assert d1 == d2, "modes must produce identical bytes"
+            if want is None:
+                want = d1
+            else:
+                assert d1 == want, "profiles must produce identical bytes"
+            sweep[name][str(int(rate))] = {
+                "fast_mb_s": round(fast_mb_s, 1),
+                "device_huffman_mb_s": round(huff_mb_s, 1),
+                "winner": (
+                    "device_huffman" if huff_mb_s > fast_mb_s else "fast"
+                ),
+            }
+    return {
+        "corpus_mb": round(total / 1e6, 1),
+        "workers": os.cpu_count(),
+        "tail_pool": os.environ.get("STARCH3_TPU_TAIL_WORKERS", "2"),
+        "link_profiles": profiles,
+        "crossover": sweep,
+        "note": (
+            "End-to-end transformed MB/s, real host pipeline (feed, "
+            "refinement heaps, headers, splice, assembly) against a "
+            "mocked chip+link; offered rate = aggregate fast-step "
+            "device rate.  device_huffman pays 4 refinement round "
+            "trips + 3 downloads per batch but ~9x less host tail "
+            "per byte; fast pays one download of 4 bits/byte and a "
+            "full native RLE2+Huffman tail per block."
+        ),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=8)
     ap.add_argument("--rates", type=str,
                     default="100,300,1000,3000,10000,inf")
+    ap.add_argument("--crossover", action="store_true",
+                    help="run the fast vs device_huffman link-model "
+                         "crossover instead of the ceiling sweep")
+    ap.add_argument("--cross-rates", type=str, default="130,520,2080,8320")
     args = ap.parse_args()
+
+    if args.crossover:
+        print(json.dumps(run_crossover(args)))
+        return 0
 
     texts = make_corpus(args.copies)
     total = sum(map(len, texts))

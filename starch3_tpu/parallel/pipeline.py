@@ -905,6 +905,11 @@ _PIPELINE_DEPTH = 2
 _DEMOTE_FRACTION = 0.5
 _DEMOTE_PROBE_S = 15.0
 _DEMOTE_MIN_SAMPLES = 3
+# per-class routing (claim loop): a class needs this many drain samples
+# before its tier rate can veto device claims — fewer than the global
+# demotion threshold because a single slow-tier batch (bits==8 measured
+# 28.6 MB/s/chip vs two ~127 MB/s host cores) is already informative
+_CLASS_MIN_SAMPLES = 2
 # a dispatched batch not transfer-ready after this long is abandoned:
 # its blocks go back to the queue for the stealers and the device is
 # benched (observed failure mode: mid-encode interconnect outage where
@@ -914,7 +919,25 @@ _ABANDON_S = 30.0
 
 # observability: cumulative scheduler events for this process (tests and
 # the bench read these; encode results never depend on them)
-scheduler_stats = {"demotions": 0, "repromotions": 0, "abandoned_batches": 0}
+scheduler_stats = {
+    "demotions": 0,
+    "repromotions": 0,
+    "abandoned_batches": 0,
+    "class_skips": 0,
+}
+
+
+def _no_host_fallback() -> bool:
+    """STARCH3_TPU_NO_HOST_FALLBACK=1 keeps device-only encodes pure:
+    stuck batches are never abandoned to driver-inline host encodes and
+    the final drain blocks on the device (the pre-round-5 semantics,
+    for device-lane benches that must never silently time host work).
+    Default off: a mid-run link outage in a ``host_assist=False``
+    encode abandons stuck batches to the driver thread instead of
+    hanging (the observed outages last hours)."""
+    import os
+
+    return os.environ.get("STARCH3_TPU_NO_HOST_FALLBACK") == "1"
 
 
 class _BlockQueue:
@@ -962,6 +985,12 @@ class _BlockQueue:
         self.device_rate_samples = 0
         self.device_demoted = False
         self.device_probe_at = 0.0  # monotonic time of next probe
+        # per-alphabet-class device tier rates: a class whose measured
+        # on-chip rate trails the stealer aggregate is routed to the
+        # host cores without benching the device (bits -> EMA bytes/s)
+        self.class_rate: dict[int, float] = {}
+        self.class_samples: dict[int, int] = {}
+        self.class_probe_at: dict[int, float] = {}
 
     def active_feeding(self) -> bool:
         """True while more blocks may arrive SOON.  A window-blocked
@@ -1007,6 +1036,29 @@ class _BlockQueue:
             self.feeding = False
             self.cond.notify_all()
 
+    def class_gated(self, bits_c, now: float) -> bool:
+        """True when the device should NOT claim from this alphabet
+        class right now: its measured tier rate (per-class drain EMA)
+        loses to the stealer aggregate — e.g. the bits==8 generic tier
+        at ~29 MB/s/chip behind two ~127 MB/s host cores — and the
+        class's probe window hasn't opened.  Returning False when the
+        window IS open also re-arms it: that claim is the class's
+        probe, re-measuring the tier in case the corpus or link
+        changed.  Caller holds ``self.cond``.  Scheduling only: bytes
+        are claim-order invariant."""
+        if bits_c is None or self.n_stealers <= 0 or not self.stealer_rate:
+            return False
+        if self.class_samples.get(bits_c, 0) < _CLASS_MIN_SAMPLES:
+            return False
+        if self.class_rate.get(bits_c, 0.0) >= (
+            _DEMOTE_FRACTION * self.stealer_rate * self.n_stealers
+        ):
+            return False
+        if now < self.class_probe_at.get(bits_c, 0.0):
+            return True
+        self.class_probe_at[bits_c] = now + _DEMOTE_PROBE_S
+        return False
+
 
 def _start_host_stealers(q: _BlockQueue, results, errors, host_assist):
     """Host stealer threads: claim one block at a time from the back of
@@ -1021,6 +1073,7 @@ def _start_host_stealers(q: _BlockQueue, results, errors, host_assist):
     def steal():
         with q.cond:
             q.live_stealers += 1
+        registered = True
         try:
             while True:
                 claim = None
@@ -1047,7 +1100,22 @@ def _start_host_stealers(q: _BlockQueue, results, errors, host_assist):
                             if len(dq) > hold_back:
                                 claim = dq.pop()
                                 break
-                        if claim is not None or not q.feeding or errors:
+                        if (
+                            claim is not None
+                            or not q.feeding
+                            or errors
+                            or q.cancelled
+                        ):
+                            if claim is None:
+                                # exit decision: deregister INSIDE the same
+                                # critical section, so _abandon_batch can
+                                # never observe this thread as live after
+                                # it has decided to stop consuming (it
+                                # would re-enqueue blocks nobody revisits
+                                # and the assembler would hang)
+                                q.live_stealers -= 1
+                                registered = False
+                                q.cond.notify_all()
                             break
                         q.cond.wait(0.05 if not hold_back else 0.002)
                 if claim is None:
@@ -1070,7 +1138,8 @@ def _start_host_stealers(q: _BlockQueue, results, errors, host_assist):
             errors.append(e)
         finally:
             with q.cond:
-                q.live_stealers -= 1
+                if registered:  # abnormal exit (normal exits deregister
+                    q.live_stealers -= 1  # in the claim loop, atomically)
                 q.cond.notify_all()
 
     # every core can steal; the native encode releases the GIL and the
@@ -1128,41 +1197,56 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
     measured failure mode on this box's tunnel), it stops claiming so
     its in-flight batches can't straggle the corpus, then re-probes
     with a single batch every ``_DEMOTE_PROBE_S`` and resumes when the
-    link recovers.  Pure scheduling: bytes are claim-order invariant."""
+    link recovers.  The same EMAs are kept per alphabet class: a tier
+    whose on-chip rate trails the stealers' aggregate (measured: the
+    bits==8 generic tier at ~29 MB/s/chip vs two ~127 MB/s host cores)
+    is routed to the hosts without benching the whole device.  Pure
+    scheduling: bytes are claim-order invariant."""
     pending: list = []
-    t_prev_drain = None
+    # completion clock for drain-to-drain rates; fast_huff finishers
+    # call note_drain from their own threads, so all access happens
+    # under q.cond (resets may store None directly: racing a reset with
+    # a sample only skews one EMA interval)
+    drain_clock = [None]
+    fallback_ok = not _no_host_fallback()
 
-    def note_drain(nbytes: int) -> None:
-        nonlocal t_prev_drain
+    def note_drain(nbytes: int, bits=None) -> None:
         now = time.monotonic()
-        if t_prev_drain is not None and now > t_prev_drain:
-            r = nbytes / (now - t_prev_drain)
-            with q.cond:
-                q.device_rate = (
-                    r if q.device_rate is None else 0.6 * q.device_rate + 0.4 * r
-                )
-                q.device_rate_samples += 1
-                if (
-                    not q.device_demoted
-                    and q.n_stealers > 0
-                    and q.stealer_rate
-                    and q.device_rate_samples >= _DEMOTE_MIN_SAMPLES
-                    and q.device_rate
-                    < _DEMOTE_FRACTION * q.stealer_rate * q.n_stealers
-                ):
-                    q.device_demoted = True
-                    q.device_probe_at = now + _DEMOTE_PROBE_S
-                    scheduler_stats["demotions"] += 1
-                    q.cond.notify_all()
-        t_prev_drain = now
+        with q.cond:
+            prev = drain_clock[0]
+            drain_clock[0] = now
+            if prev is None or now <= prev:
+                return
+            r = nbytes / (now - prev)
+            q.device_rate = (
+                r if q.device_rate is None else 0.6 * q.device_rate + 0.4 * r
+            )
+            q.device_rate_samples += 1
+            if bits is not None:
+                cr = q.class_rate.get(bits)
+                q.class_rate[bits] = r if cr is None else 0.6 * cr + 0.4 * r
+                q.class_samples[bits] = q.class_samples.get(bits, 0) + 1
+            if (
+                not q.device_demoted
+                and q.n_stealers > 0
+                and q.stealer_rate
+                and q.device_rate_samples >= _DEMOTE_MIN_SAMPLES
+                and q.device_rate
+                < _DEMOTE_FRACTION * q.stealer_rate * q.n_stealers
+            ):
+                q.device_demoted = True
+                q.device_probe_at = now + _DEMOTE_PROBE_S
+                scheduler_stats["demotions"] += 1
+                q.cond.notify_all()
 
     try:
         while True:
             chunk = None
             this_nm = None
+            inline_claim = None
             with q.cond:
                 while True:
-                    if errors:
+                    if errors or q.cancelled:
                         return
                     probe_due = q.device_demoted and (
                         time.monotonic() >= q.device_probe_at
@@ -1177,12 +1261,34 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                             q.buckets[nm2] for nm2 in q.buckets
                         ):
                             break
+                        if q.live_stealers == 0 and fallback_ok:
+                            # device-only encode (host_assist=False) on a
+                            # benched device: the driver itself becomes
+                            # the stealer — full-host-speed progress
+                            # between probes, instead of batch_size
+                            # host-encoded blocks per probe period (the
+                            # observed outages last hours; a dead link
+                            # must never reduce throughput to the probe
+                            # trickle, let alone hang the encode)
+                            for nm2 in sorted(q.buckets, reverse=True):
+                                if q.buckets[nm2]:
+                                    inline_claim = q.buckets[nm2].pop()
+                                    break
+                            if inline_claim is not None:
+                                break
                         q.cond.wait(0.1)
                         continue
                     for nm in sorted(q.buckets, reverse=True):
                         dq = q.buckets[nm]
                         remaining = len(dq)
                         if remaining <= 0:
+                            continue
+                        bits_c = nm[1] if isinstance(nm, tuple) else None
+                        if q.class_gated(bits_c, time.monotonic()):
+                            # this tier loses to the stealer aggregate:
+                            # leave its blocks to the host cores (one
+                            # probe claim per period re-measures it)
+                            scheduler_stats["class_skips"] += 1
                             continue
                         if q.active_feeding() and remaining < batch_size:
                             # wait for a full batch while blocks are
@@ -1204,14 +1310,29 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                     if chunk is not None or pending or not q.feeding:
                         break
                     q.cond.wait(0.005)
-                if chunk is None and not pending and not q.feeding:
+                if (
+                    chunk is None
+                    and inline_claim is None
+                    and not pending
+                    and not q.feeding
+                ):
                     break  # queue fully claimed; stealers own the rest
                 # a claim made while demoted is the recovery probe
                 probing = chunk is not None and q.device_demoted
+            if inline_claim is not None:
+                from starch3_tpu.codec.encoder import encode_block_fragment
+
+                si, bi = inline_claim
+                results[(si, bi)] = encode_block_fragment(
+                    q.per_stream_blocks[si][bi]
+                )
+                with q.cond:
+                    q.cond.notify_all()
+                continue
             if chunk is None and not pending:
                 # feed-starved: a drain-to-drain interval spanning this
                 # idle gap would fake a low device rate — reset it
-                t_prev_drain = None
+                drain_clock[0] = None
             if chunk is not None and probing:
                 # Non-hostage recovery probe: dispatch the batch, then
                 # immediately host-encode the SAME blocks inline so the
@@ -1243,6 +1364,7 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                     not _batch_ready(handles)
                     and time.monotonic() - t0 < _ABANDON_S
                     and not errors
+                    and not q.cancelled
                 ):
                     import time as _time
 
@@ -1265,7 +1387,7 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                         )
                     q.cond.notify_all()
                 del handles
-                t_prev_drain = None
+                drain_clock[0] = None
                 continue
             if chunk is not None:
                 datas = [
@@ -1313,26 +1435,30 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                 # stealers (mid-encode link outage: a blocking drain
                 # would hang the whole encode on blocks only the device
                 # holds).
+                abandon_ok = q.n_stealers > 0 or fallback_ok
                 while pending:
-                    if errors:
+                    if errors or q.cancelled:
                         return
                     head = pending[0]
                     if _batch_ready(head[1][1][0]):
                         break
                     if (
-                        q.n_stealers > 0
+                        abandon_ok
                         and time.monotonic() - head[3] > _ABANDON_S
                     ):
                         # stale at ANY depth: an under-full stuck head
                         # would otherwise never drain once the claim
-                        # loop stops feeding new batches (demotion)
+                        # loop stops feeding new batches (demotion);
+                        # with no stealers _abandon_batch host-encodes
+                        # the blocks inline, so a mid-run link outage
+                        # can't hang a device-only encode either
                         _abandon_batch(q, results, pending.pop(0))
-                        t_prev_drain = None
+                        drain_clock[0] = None
                         continue
                     if len(pending) < _PIPELINE_DEPTH:
                         break  # room to dispatch more; don't park here
-                    if q.n_stealers == 0:
-                        break  # no fallback workers: blocking drain
+                    if not abandon_ok:
+                        break  # pure device, no fallback: blocking drain
                     import time as _time
 
                     _time.sleep(0.005)
@@ -1341,20 +1467,23 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                     or _batch_ready(pending[0][1][1][0])
                 ):
                     nm0, item, nbytes, _t0 = pending.pop(0)
-                    _drain_into(results, q.per_stream_blocks, item, nm0, mode)
-                    note_drain(nbytes)
+                    bits0 = nm0[1] if isinstance(nm0, tuple) else None
+                    _drain_into(
+                        results, q.per_stream_blocks, item, nm0, mode,
+                        on_done=functools.partial(note_drain, nbytes, bits0),
+                    )
                     with q.cond:  # wake the incremental assembler
                         q.cond.notify_all()
                 elif chunk is None:
                     import time as _time
 
                     _time.sleep(0.002)  # nothing claimable, batch not ready
+        abandon_ok = q.n_stealers > 0 or fallback_ok
         while pending:
+            if errors or q.cancelled:
+                return
             head = pending[0]
-            if (
-                q.n_stealers > 0
-                and not _batch_ready(head[1][1][0])
-            ):
+            if abandon_ok and not _batch_ready(head[1][1][0]):
                 if time.monotonic() - head[3] > _ABANDON_S:
                     _abandon_batch(q, results, pending.pop(0))
                     continue
@@ -1363,8 +1492,11 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                 _time.sleep(0.005)
                 continue
             nm0, item, nbytes, _t0 = pending.pop(0)
-            _drain_into(results, q.per_stream_blocks, item, nm0, mode)
-            note_drain(nbytes)
+            bits0 = nm0[1] if isinstance(nm0, tuple) else None
+            _drain_into(
+                results, q.per_stream_blocks, item, nm0, mode,
+                on_done=functools.partial(note_drain, nbytes, bits0),
+            )
             with q.cond:
                 q.cond.notify_all()
     except BaseException as e:  # surface in the caller
@@ -1387,7 +1519,14 @@ def _batch_ready(out_d) -> bool:
     return True
 
 
-def _drain_into(results, per_stream_blocks, item, n_max, mode="ranks"):
+def _drain_into(results, per_stream_blocks, item, n_max, mode="ranks",
+                on_done=None):
+    """Move one dispatched batch's results into ``results``.  ``on_done``
+    (the driver's drain-rate hook) fires when the batch's host results
+    actually exist: at return for the synchronous modes, and from the
+    finisher thread for fast_huff — measuring submit-to-submit there
+    would overestimate the device under refinement backlog, weakening
+    the demotion trigger in exactly the degraded-link case it targets."""
     if isinstance(n_max, tuple):  # queue bucket key: (geometry, bits class)
         n_max = n_max[0]
     chunk, (out_d, aux) = item
@@ -1399,9 +1538,10 @@ def _drain_into(results, per_stream_blocks, item, n_max, mode="ranks"):
         # runs on its own thread — its host-side waits (rfreq download,
         # native heaps) overlap the driver's next sort/MTF dispatch —
         # and per-block futures land in ``results`` immediately so the
-        # assembler can wait on exactly the blocks it needs.  A 2-slot
+        # assembler can wait on exactly the blocks it needs.  A 3-slot
         # semaphore bounds in-flight finishers (device arrays they hold
-        # alive), restoring the old blocking behavior under backlog.
+        # alive: the two running plus one queued), restoring the old
+        # blocking behavior under backlog.
         from concurrent.futures import Future
 
         pool, slots = _huff_pool()
@@ -1422,6 +1562,8 @@ def _drain_into(results, per_stream_blocks, item, n_max, mode="ranks"):
             else:
                 for key, f in futs.items():
                     f.set_result(local[key])
+                if on_done is not None:
+                    on_done()
             finally:
                 slots.release()
 
@@ -1442,6 +1584,8 @@ def _drain_into(results, per_stream_blocks, item, n_max, mode="ranks"):
                 results[(si, bi)] = encode_block_fragment(
                     per_stream_blocks[si][bi]
                 )
+        if on_done is not None:
+            on_done()
         return
     if mode == "fast":
         out = np.asarray(out_d)  # one transfer for the whole batch
@@ -1464,6 +1608,8 @@ def _drain_into(results, per_stream_blocks, item, n_max, mode="ranks"):
                 results[(si, bi)] = encode_block_fragment(
                     per_stream_blocks[si][bi]
                 )
+        if on_done is not None:
+            on_done()
         return
     unpacked = (
         _unpack_results_rle2(out_d, aux["b"])
@@ -1472,6 +1618,8 @@ def _drain_into(results, per_stream_blocks, item, n_max, mode="ranks"):
     )
     for (si, bi), res in zip(chunk, unpacked):
         results[(si, bi)] = res
+    if on_done is not None:
+        on_done()
 
 
 def _drain_fast_huff(results, per_stream_blocks, chunk, handles, aux, n_max):
@@ -1481,8 +1629,6 @@ def _drain_fast_huff(results, per_stream_blocks, chunk, handles, aux, n_max):
     tarball), then one device bit-pack emit; the host writes only block
     headers and splices the packed words.  Any block with sort ties or
     an emit overflow falls back to the host encoder (bytes identical)."""
-    import jax.numpy as jnp
-
     from starch3_tpu.codec import huffman
     from starch3_tpu.codec.encoder import encode_block_fragment, write_block_header
     from starch3_tpu.ops.huff_jax import ALPHA_MAX, GROUP_SIZE
@@ -1519,9 +1665,10 @@ def _drain_fast_huff(results, per_stream_blocks, chunk, handles, aux, n_max):
     cost_select = _jitted_cost_select()
     sel_d = None
     for _ in range(huffman.N_ITERS):
-        sel_d, rfreq_d = cost_select(
-            hist_d, jnp.asarray(lens), jnp.asarray(masks)
-        )
+        # numpy args go straight to the jitted call: jit stages them
+        # itself, and an explicit jnp.asarray is a redundant host copy
+        # (measured ~1.3 ms per call on this backend's dispatch path)
+        sel_d, rfreq_d = cost_select(hist_d, lens, masks)
         rfreq = np.asarray(rfreq_d)
         # one native call per iteration covers every (block, table) heap
         rfreq64 = np.ascontiguousarray(rfreq[:b], dtype=np.int64)
@@ -1543,9 +1690,7 @@ def _drain_fast_huff(results, per_stream_blocks, chunk, handles, aux, n_max):
                 codes.astype(np.int64) << 5
             ) | lens[i, t, :alpha]
 
-    words_d, totals_d = _jitted_emit_coded(n_max)(
-        syms_d, m_d, sel_d, jnp.asarray(luts)
-    )
+    words_d, totals_d = _jitted_emit_coded(n_max)(syms_d, m_d, sel_d, luts)
     totals = np.asarray(totals_d)
     w_cap = _emit_w_cap(n_max)
     # bucketed-prefix downloads (see _jitted_batch_head): only the

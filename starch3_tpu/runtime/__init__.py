@@ -273,6 +273,10 @@ def write_block_header_native(
     n_groups, alpha = lens32.shape
     sels32 = np.ascontiguousarray(sels, dtype=np.int32)
     used8 = np.ascontiguousarray(in_use, dtype=np.uint8)
+    if used8.size != 256:
+        # the native serializer reads exactly 256 entries unconditionally;
+        # a shorter map would be an out-of-bounds read
+        return None
     cap = 4096 + sels32.size  # map+tables < 1 kB; selectors <= 6 bits each
     out = np.empty(cap, dtype=np.uint8)
     tail = ctypes.c_uint64()
