@@ -161,3 +161,57 @@ def test_device_huffman_tier_on_chip(rng):
     text = _parse_transform(make_bed_text(rng, n=4000))[0].text
     got = encode_streams([text], device_huffman=True, host_assist=False)[0]
     assert got.data == bz2.compress(text, 9)
+
+
+def _alphabet_text(rng, n_syms: int, n: int = 60_000) -> bytes:
+    """A text whose block alphabet has exactly ``n_syms`` distinct
+    bytes (printable range, no RLE1 quirks dominating)."""
+    al = np.array(
+        sorted({48 + (7 * k) % 180 for k in range(n_syms)})[:n_syms],
+        np.uint8,
+    )
+    assert al.size == n_syms
+    out = al[rng.integers(0, n_syms, n)]
+    # guarantee every symbol appears
+    out[:n_syms] = al
+    return out.tobytes()
+
+
+@pytest.mark.parametrize("n_syms,bits", [(21, 5), (43, 6), (100, 8)])
+def test_wide_alphabet_tiers_byte_identity_on_chip(rng, n_syms, bits):
+    """VERDICT r04 missing #3: the bits==5/6/8 tiers never executed on
+    real hardware.  Per-class routing must land each alphabet on its
+    tier (asserted via _bits_class) and the chip's output must be
+    byte-identical to libbz2 through the production pipeline."""
+    import bz2
+
+    from starch3_tpu.parallel.pipeline import _bits_class, encode_streams
+
+    assert _bits_class(n_syms) == bits
+    texts = [_alphabet_text(rng, n_syms) for _ in range(3)]
+    want = [bz2.compress(t, 9) for t in texts]
+    got = [s.data for s in encode_streams(texts, host_assist=False)]
+    assert got == want
+    # and through the hybrid (host-assist) scheduler
+    got2 = [s.data for s in encode_streams(texts)]
+    assert got2 == want
+
+
+def test_bits6_bench_corpus_end_to_end_on_chip(rng):
+    """The gene-id/float corpus (bench.make_genome_bed_bits6) rides the
+    bits==6 tier end-to-end on the chip, archive identical to host."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import make_genome_bed_bits6
+
+    from starch3_tpu.api import compress_bed_bytes, decompress_starch_bytes
+    from starch3_tpu.config import EncodeConfig
+
+    bed = make_genome_bed_bits6(n_per=4000)
+    # keep it small: 3 chromosomes' worth
+    bed = b"\n".join(bed.split(b"\n")[: 3 * 4000]) + b"\n"
+    a_jax = compress_bed_bytes(bed, EncodeConfig(use_jax=True))
+    a_host = compress_bed_bytes(bed, EncodeConfig(use_jax=False))
+    assert a_jax == a_host
+    assert decompress_starch_bytes(a_jax) == bed
