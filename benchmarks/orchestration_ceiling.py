@@ -551,7 +551,9 @@ def stage_rates(texts, rows):
     tail_bytes = sum(n for _r, _u, n, _c in big)
     tail_mb_s = tail_bytes / tail_dt / 1e6
 
-    # assembly: concatenating finished fragments into streams
+    # assembly, both forms: the incremental append (streaming windows)
+    # and the production one-allocation assembler (_assemble_stream's
+    # native bit-splice into an exact-size buffer, round 5)
     t0 = time.perf_counter()
     from starch3_tpu.codec.bitio import BitWriter
 
@@ -561,10 +563,25 @@ def stage_rates(texts, rows):
     _ = bw.getvalue()
     asm_mb_s = tail_bytes / (time.perf_counter() - t0) / 1e6
 
+    from starch3_tpu.parallel.pipeline import _assemble_stream
+
+    class _Blk:
+        __slots__ = ("crc",)
+
+        def __init__(self, crc):
+            self.crc = crc
+
+    blks = [_Blk(crc) for _r, _u, _n, crc in big]
+    res = {(0, i): f for i, f in enumerate(frags)}
+    t0 = time.perf_counter()
+    _assemble_stream(blks, res, 0, 9)
+    asm_prealloc_mb_s = tail_bytes / (time.perf_counter() - t0) / 1e6
+
     return {
         "feed_serial_mb_s": round(feed_mb_s, 1),
         "tail_per_core_mb_s": round(tail_mb_s, 1),
         "assembly_serial_mb_s": round(asm_mb_s, 1),
+        "assembly_prealloc_mb_s": round(asm_prealloc_mb_s, 1),
         "blocks": nblocks,
     }
 

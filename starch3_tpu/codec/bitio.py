@@ -55,20 +55,26 @@ class BitWriter:
         other's whole bytes is shifted by this writer's live bit count
         with one numpy pass.
         """
-        arr = np.frombuffer(bytes(other._out), dtype=np.uint8)
         L = self._nbits
         if L == 0:
             self._out += other._out
-        elif arr.size:
-            mask = (1 << L) - 1
-            prev = np.empty(arr.size, dtype=np.uint8)
-            prev[0] = self._acc & mask
-            prev[1:] = arr[:-1] & mask
-            merged = ((prev.astype(np.uint16) << (8 - L)) | (arr >> L)).astype(
-                np.uint8
-            )
-            self._out += merged.tobytes()
-            self._acc = int(arr[-1]) & mask
+        elif len(other._out):
+            from starch3_tpu.runtime import append_shifted_into
+
+            new_acc = append_shifted_into(self._out, other._out, L, self._acc)
+            if new_acc is not None:
+                self._acc = new_acc
+            else:
+                arr = np.frombuffer(bytes(other._out), dtype=np.uint8)
+                mask = (1 << L) - 1
+                prev = np.empty(arr.size, dtype=np.uint8)
+                prev[0] = self._acc & mask
+                prev[1:] = arr[:-1] & mask
+                merged = (
+                    (prev.astype(np.uint16) << (8 - L)) | (arr >> L)
+                ).astype(np.uint8)
+                self._out += merged.tobytes()
+                self._acc = int(arr[-1]) & mask
         if other._nbits:
             self.write(other._acc, other._nbits)
 

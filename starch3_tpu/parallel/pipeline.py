@@ -701,7 +701,80 @@ def encode_streams_feed(
 def _assemble_stream(blocks, results, si: int, level: int):
     """Concatenate one stream's finished block fragments in block order
     (deterministic: partitioning is input-derived, never topology- or
-    schedule-derived)."""
+    schedule-derived).
+
+    Production path (all results are prebuilt BitWriter fragments, the
+    native lib present): ONE exact-size allocation, each fragment
+    bit-spliced into place natively (runtime.cpp s3_append_shifted) —
+    the growing-bytearray concat's realloc copies were the measured
+    serial-assembly ceiling (docs/PERF.md "Orchestration ceiling").
+    Legacy/device-tuple results take the incremental BitWriter path;
+    bytes are identical either way (tested)."""
+    resolved = []
+    for bi in range(len(blocks)):
+        res = results[(si, bi)]
+        if hasattr(res, "result"):  # tail-pool future -> fragment
+            res = res.result()
+        resolved.append(res)
+    from starch3_tpu.codec.encoder import EncodedStream
+
+    if all(isinstance(r, BitWriter) for r in resolved):
+        from starch3_tpu.runtime import append_shifted_at, get_lib
+
+        if get_lib() is not None:
+            total_bits = (
+                32
+                + sum(f.bit_length for f in resolved)
+                + 48
+                + 32
+            )
+            out = bytearray((total_bits + 7) // 8)
+            out[0:3] = b"BZh"
+            out[3] = 0x30 + level
+            pos, acc, L = 4, 0, 0
+            combined = 0
+            offsets = []
+            crcs = []
+            ok = True
+            for blk, f in zip(blocks, resolved):
+                offsets.append(pos * 8 + L)
+                crcs.append(blk.crc)
+                combined = combine_block_crc(combined, blk.crc)
+                src = f._out
+                n = len(src)
+                if n:
+                    if L == 0:
+                        out[pos : pos + n] = src
+                        acc = src[-1]  # unused at L==0; keep well-defined
+                    else:
+                        acc = append_shifted_at(out, pos, src, L, acc)
+                        if acc is None:
+                            ok = False
+                            break
+                    pos += n
+                if f._nbits:
+                    acc = ((acc if L else 0) << f._nbits) | f._acc
+                    L += f._nbits
+                    if L >= 8:
+                        L -= 8
+                        out[pos] = (acc >> L) & 0xFF
+                        pos += 1
+                        acc &= (1 << L) - 1
+            if ok:
+                tail = BitWriter()
+                tail._acc, tail._nbits = acc, L
+                tail.write(STREAM_END_MAGIC, 48)
+                tail.write(combined, 32)
+                tb = tail.getvalue()
+                out[pos : pos + len(tb)] = tb
+                assert pos + len(tb) == len(out)
+                return EncodedStream(
+                    data=bytes(out),
+                    block_bit_offsets=tuple(offsets),
+                    block_crcs=tuple(crcs),
+                    combined_crc=combined,
+                )
+
     bw = BitWriter()
     bw.write_bytes_msb(b"BZh")
     bw.write(0x30 + level, 8)
@@ -709,12 +782,10 @@ def _assemble_stream(blocks, results, si: int, level: int):
     offsets = []
     crcs = []
     for bi, blk in enumerate(blocks):
-        res = results[(si, bi)]
+        res = resolved[bi]
         offsets.append(bw.bit_length)
         crcs.append(blk.crc)
         combined = combine_block_crc(combined, blk.crc)
-        if hasattr(res, "result"):  # tail-pool future -> fragment
-            res = res.result()
         if isinstance(res, BitWriter):  # pre-built fragment
             bw.append_writer(res)
         elif len(res) == 4:  # device-RLE2: (used, ptr, symbols, freq)
@@ -725,8 +796,6 @@ def _assemble_stream(blocks, results, si: int, level: int):
             write_block_from_ranks(bw, blk.crc, ptr, ranks, in_use)
     bw.write(STREAM_END_MAGIC, 48)
     bw.write(combined, 32)
-    from starch3_tpu.codec.encoder import EncodedStream
-
     return EncodedStream(
         data=bw.getvalue(),
         block_bit_offsets=tuple(offsets),
@@ -1366,6 +1435,26 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                     and not errors
                     and not q.cancelled
                 ):
+                    # device-only mode: keep host-encoding queued blocks
+                    # while waiting on the probe — otherwise a dead link
+                    # stalls this thread (the only worker) for the full
+                    # patience window every probe period
+                    probe_fill = None
+                    if fallback_ok:
+                        with q.cond:
+                            if q.live_stealers == 0:
+                                for nm2 in sorted(q.buckets, reverse=True):
+                                    if q.buckets[nm2]:
+                                        probe_fill = q.buckets[nm2].pop()
+                                        break
+                    if probe_fill is not None:
+                        si2, bi2 = probe_fill
+                        results[(si2, bi2)] = encode_block_fragment(
+                            q.per_stream_blocks[si2][bi2]
+                        )
+                        with q.cond:
+                            q.cond.notify_all()
+                        continue
                     import time as _time
 
                     _time.sleep(0.01)

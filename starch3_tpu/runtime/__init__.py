@@ -200,6 +200,11 @@ def get_lib():
         ]
         lib.s3_crc32.restype = ctypes.c_uint32
         lib.s3_crc32.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.s3_append_shifted.restype = ctypes.c_int64
+        lib.s3_append_shifted.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_uint64, ctypes.c_void_p,
+        ]
         lib.s3_parse_ints.restype = ctypes.c_int64
         lib.s3_parse_ints.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -291,6 +296,50 @@ def write_block_header_native(
     if n < 0:
         return None
     return out[:n].tobytes(), int(tail.value), int(tail_nbits.value)
+
+
+def append_shifted_into(dst: bytearray, src, nbits: int, acc: int):
+    """Bit-shifted splice for the stream assembler (runtime.cpp
+    s3_append_shifted): grows ``dst`` by len(src) and writes the merged
+    bytes straight into the tail (no intermediate buffer).  Returns the
+    new accumulator, or None (no lib / nbits out of 1..7) — caller
+    falls back to the NumPy formulation."""
+    lib = get_lib()
+    if lib is None or not (0 < nbits < 8):
+        return None
+    a = np.frombuffer(src, dtype=np.uint8)
+    if a.size == 0:
+        return acc & ((1 << nbits) - 1)
+    start = len(dst)
+    dst += bytes(a.size)
+    out = np.frombuffer(memoryview(dst)[start:], dtype=np.uint8)
+    new_acc = lib.s3_append_shifted(
+        a.ctypes.data, a.size, nbits, acc, out.ctypes.data
+    )
+    if new_acc < 0:
+        del dst[start:]
+        return None
+    return int(new_acc)
+
+
+def append_shifted_at(dst, pos: int, src, nbits: int, acc: int):
+    """Like append_shifted_into, but writes into the PREALLOCATED
+    region dst[pos : pos+len(src)] (the one-allocation stream
+    assembler, pipeline._assemble_stream).  Returns the new acc or
+    None."""
+    lib = get_lib()
+    if lib is None or not (0 < nbits < 8):
+        return None
+    a = np.frombuffer(src, dtype=np.uint8)
+    if a.size == 0:
+        return acc & ((1 << nbits) - 1)
+    out = np.frombuffer(memoryview(dst)[pos : pos + a.size], dtype=np.uint8)
+    new_acc = lib.s3_append_shifted(
+        a.ctypes.data, a.size, nbits, acc, out.ctypes.data
+    )
+    if new_acc < 0:
+        return None
+    return int(new_acc)
 
 
 def mtf_ranks_native(seq: np.ndarray, n_sym: int):

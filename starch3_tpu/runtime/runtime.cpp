@@ -2426,4 +2426,40 @@ int64_t s3_write_block_header(uint32_t crc, int64_t orig_ptr,
     return bw.n;
 }
 
+// Bit-shifted splice for stream assembly: merge a byte stream onto a
+// writer whose live bit count is `nbits` (1..7).  out[i] =
+// (prev << (8-nbits)) | (src[i] >> nbits) with prev chaining from
+// `acc`; returns the new accumulator (src's last byte, masked).  One
+// 64-bit-word pass replaces the assembler's multi-pass NumPy shift
+// (codec/bitio.append_writer) — fragment concatenation was the
+// measured ~3 GB/s serial assembly ceiling (docs/PERF.md
+// "Orchestration ceiling"; reference behavior: sequential bsW writes
+// in the bundled bzip2's bzlib.c, which never needed a splice because
+// it never parallelized block production).
+int64_t s3_append_shifted(const uint8_t* src, int64_t n, int32_t nbits,
+                          uint64_t acc, uint8_t* out) {
+    if (nbits <= 0 || nbits >= 8 || n <= 0) return -1;
+    const int L = nbits;
+    const uint64_t mask = ((uint64_t)1 << L) - 1;
+    uint64_t carry = acc & mask;  // L live bits waiting for their tail
+    int64_t i = 0;
+    // word loop: treat 8 source bytes as a big-endian u64; the merged
+    // word is (carry:L | x>>L) and the new carry is x's low L bits
+    for (; i + 8 <= n; i += 8) {
+        uint64_t x;
+        memcpy(&x, src + i, 8);
+        x = __builtin_bswap64(x);
+        uint64_t y = (carry << (64 - L)) | (x >> L);
+        carry = x & mask;
+        y = __builtin_bswap64(y);
+        memcpy(out + i, &y, 8);
+    }
+    for (; i < n; i++) {
+        uint8_t x = src[i];
+        out[i] = (uint8_t)((carry << (8 - L)) | (x >> L));
+        carry = x & mask;
+    }
+    return (int64_t)carry;
+}
+
 }  // extern "C"

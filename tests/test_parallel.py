@@ -427,7 +427,8 @@ class TestDeviceOnlyFailureModes:
             al[rng.integers(0, al.size, 30_000)].tobytes() for _ in range(n)
         ]
 
-    def test_dead_device_only_encode_terminates(self, rng, monkeypatch):
+    @pytest.mark.parametrize("probe_s", [60.0, 0.5])
+    def test_dead_device_only_encode_terminates(self, rng, monkeypatch, probe_s):
         """host_assist=False + a device that never delivers: stuck
         batches are abandoned to driver-inline host encodes and the
         driver itself works the queue while the device is benched —
@@ -467,9 +468,11 @@ class TestDeviceOnlyFailureModes:
 
         monkeypatch.setattr(pipeline, "_dispatch_chunk", dead_dispatch)
         monkeypatch.setattr(pipeline, "_ABANDON_S", 0.4)
-        # probes stay out of the window: progress must come from the
-        # driver-as-stealer path, not the probe trickle
-        monkeypatch.setattr(pipeline, "_DEMOTE_PROBE_S", 60.0)
+        # probe_s=60: probes stay out of the window — progress must come
+        # from the driver-as-stealer path.  probe_s=0.5: probes fire
+        # repeatedly — the probe wait must keep host-encoding queued
+        # blocks instead of stalling the only worker thread
+        monkeypatch.setattr(pipeline, "_DEMOTE_PROBE_S", probe_s)
         before = pipeline.scheduler_stats["abandoned_batches"]
         t0 = _time.perf_counter()
         streams = pipeline.encode_streams(texts, host_assist=False)
