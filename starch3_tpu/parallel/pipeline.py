@@ -587,20 +587,23 @@ _N_MAX_BUCKETS = (16_384, 131_072, 458_752, N_MAX_BLOCK)
 
 
 def _split_classify(text: bytes, level: int):
-    """RLE1-segment one stream and classify each block's alphabet: one
-    bincount pass per block (~2 ms/900 kB incl. the split) buys
-    homogeneous batches — a single wide block no longer demotes its
-    batch.  Pure function of the text: safe on the feed prefetch pool
-    (the native split and CRC release the GIL)."""
+    """RLE1-segment one stream and classify each block's alphabet so
+    batches stay homogeneous — a single wide block never demotes its
+    batch.  The distinct-byte count runs natively (one table store per
+    byte, runtime.cpp s3_count_distinct; the NumPy bincount fallback
+    was ~45% of the serial feed cost).  Pure function of the text: safe
+    on the feed prefetch pool (the natives release the GIL)."""
+    from starch3_tpu.runtime import count_distinct_native
+
     blocks = rle1_split_blocks(text, level)
-    classes = [
-        _bits_class(
-            int((np.bincount(
+    classes = []
+    for blk in blocks:
+        n_syms = count_distinct_native(blk.data)
+        if n_syms is None:
+            n_syms = int((np.bincount(
                 np.frombuffer(blk.data, np.uint8), minlength=256
             ) > 0).sum())
-        )
-        for blk in blocks
-    ]
+        classes.append(_bits_class(n_syms))
     return blocks, classes
 
 
@@ -1114,8 +1117,14 @@ class _BlockQueue:
         window IS open also re-arms it: that claim is the class's
         probe, re-measuring the tier in case the corpus or link
         changed.  Caller holds ``self.cond``.  Scheduling only: bytes
-        are claim-order invariant."""
+        are claim-order invariant.  STARCH3_TPU_NO_CLASS_ROUTING=1
+        disables the gate (the pre-round-5 behavior, kept for A/B
+        measurement)."""
         if bits_c is None or self.n_stealers <= 0 or not self.stealer_rate:
+            return False
+        import os
+
+        if os.environ.get("STARCH3_TPU_NO_CLASS_ROUTING") == "1":
             return False
         if self.class_samples.get(bits_c, 0) < _CLASS_MIN_SAMPLES:
             return False

@@ -205,6 +205,8 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_uint64, ctypes.c_void_p,
         ]
+        lib.s3_count_distinct.restype = ctypes.c_int32
+        lib.s3_count_distinct.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.s3_parse_ints.restype = ctypes.c_int64
         lib.s3_parse_ints.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -320,6 +322,18 @@ def append_shifted_into(dst: bytearray, src, nbits: int, acc: int):
         del dst[start:]
         return None
     return int(new_acc)
+
+
+def count_distinct_native(buf) -> int | None:
+    """Distinct-byte count of a buffer (runtime.cpp s3_count_distinct),
+    or None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.frombuffer(buf, dtype=np.uint8)
+    if a.size == 0:
+        return 0
+    return int(lib.s3_count_distinct(a.ctypes.data, a.size))
 
 
 def append_shifted_at(dst, pos: int, src, nbits: int, acc: int):
