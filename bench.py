@@ -647,9 +647,9 @@ def main() -> int:
             ]
             wide = [
                 rng.integers(0, 200, 700_000).astype(np.uint8).tobytes()
-                for _ in range(8)
+                for _ in range(16)
             ]
-            mixed = [t for pair in zip(narrow, wide) for t in pair]
+            mixed = [t for pair in zip(narrow, wide[:8]) for t in pair] + wide[8:]
             tb = sum(map(len, mixed))
             from starch3_tpu.parallel.pipeline import scheduler_stats
 
@@ -1025,13 +1025,13 @@ def main() -> int:
                     "regressions": regressions,
                     "tunnel_mb_s": {"upload": 76, "download": 45},
                     "scale_1gb": {
-                        "encode_mb_s": 51.7,
-                        "decode_mb_s": 73.6,
-                        "peak_rss_mb": 471,
-                        "stdin_pipe_encode_mb_s": 59.6,
-                        "stdin_pipe_peak_rss_mb": 471,
+                        "encode_mb_s": 52.6,
+                        "decode_mb_s": 70.4,
+                        "peak_rss_mb": 470,
+                        "stdin_pipe_encode_mb_s": 60.5,
+                        "stdin_pipe_peak_rss_mb": 470,
                         "source": "tests/test_archive.py TestGigabyteScale "
-                        "(host path; re-measured round 4 on this box)",
+                        "(host path; re-measured round 5 on this box)",
                     },
                 },
             }

@@ -848,6 +848,12 @@ def encode_streams_iter(
     q.steal_holdback = batch_size
     q.device_low_water = batch_size * _PIPELINE_DEPTH
     q.window_bytes = window_bytes
+    # seed per-class tier rates from this process's previous encodes
+    # (capped sample credit: one fresh drain still re-rates quickly)
+    q.class_rate.update(_class_rate_cache)
+    q.class_samples.update(
+        {b: _CLASS_MIN_SAMPLES for b in _class_rate_cache}
+    )
     results: dict[tuple[int, int], tuple] = {}
     errors: list[BaseException] = []
     stealers = _start_host_stealers(q, results, errors, host_assist)
@@ -997,6 +1003,14 @@ scheduler_stats = {
     "abandoned_batches": 0,
     "class_skips": 0,
 }
+
+# process-lifetime per-class device tier rates (bits -> EMA bytes/s):
+# a fresh encode's queue is seeded from the last encode's measurements,
+# so per-class routing is effective from the first batch instead of
+# re-learning each call (the tier rates are properties of the chip and
+# corpus class, not of one encode).  Scheduling only; the probe claims
+# re-measure every _DEMOTE_PROBE_S regardless.
+_class_rate_cache: dict[int, float] = {}
 
 
 def _no_host_fallback() -> bool:
@@ -1304,6 +1318,7 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                 cr = q.class_rate.get(bits)
                 q.class_rate[bits] = r if cr is None else 0.6 * cr + 0.4 * r
                 q.class_samples[bits] = q.class_samples.get(bits, 0) + 1
+                _class_rate_cache[bits] = q.class_rate[bits]
             if (
                 not q.device_demoted
                 and q.n_stealers > 0
