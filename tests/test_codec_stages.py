@@ -188,3 +188,69 @@ class TestBitIO:
         vec.write(0b101, 3)
         vec.write_array(vals, bits)
         assert serial.getvalue() == vec.getvalue()
+
+    def test_append_writer_native_matches_numpy(self, rng):
+        """Round 5: append_writer's native bit-splice (runtime.cpp
+        s3_append_shifted) must byte-match the NumPy formulation at
+        every live-bit offset, fragment size, and tail width."""
+        from starch3_tpu import runtime as rt
+
+        if rt.get_lib() is None:
+            pytest.skip("needs the native runtime")
+        for L in range(0, 8):
+            for n in (0, 1, 7, 8, 9, 1000):
+                for tail_bits in (0, 1, 5, 7):
+                    other = BitWriter()
+                    other._out += rng.integers(0, 256, n).astype(np.uint8).tobytes()
+                    if tail_bits:
+                        other._acc = int(rng.integers(0, 1 << tail_bits))
+                        other._nbits = tail_bits
+                    base = rng.integers(0, 256, 37).astype(np.uint8).tobytes()
+
+                    def build(disabled):
+                        bw = BitWriter()
+                        bw._out += base
+                        if L:
+                            # deterministic: both builds must start equal
+                            bw._acc = 0x15 & ((1 << L) - 1)
+                            bw._nbits = L
+                        if disabled:
+                            saved = rt.append_shifted_into
+                            rt.append_shifted_into = lambda *a, **k: None
+                            try:
+                                bw.append_writer(other)
+                            finally:
+                                rt.append_shifted_into = saved
+                        else:
+                            bw.append_writer(other)
+                        return bw.getvalue(), bw._acc, bw._nbits
+
+                    assert build(False) == build(True), (L, n, tail_bits)
+
+    def test_assemble_stream_prealloc_matches_incremental(self, rng):
+        """Round 5: the one-allocation assembler (_assemble_stream's
+        native bit-splice path) must produce identical bytes, offsets,
+        and CRCs to the incremental BitWriter path."""
+        import bz2
+
+        from starch3_tpu import runtime as rt
+        from starch3_tpu.parallel import pipeline
+
+        if rt.get_lib() is None:
+            pytest.skip("needs the native runtime")
+        al = np.frombuffer(b"0123456789p-\t\n", np.uint8)
+        texts = [
+            al[rng.integers(0, al.size, n)].tobytes()
+            for n in (40_000, 1_500_000, 12)
+        ]
+        fast = pipeline.encode_streams(texts)
+        saved = rt.append_shifted_at
+        rt.append_shifted_at = lambda *a, **k: None
+        try:
+            legacy = pipeline.encode_streams(texts)
+        finally:
+            rt.append_shifted_at = saved
+        for t, a, b in zip(texts, fast, legacy):
+            assert a.data == b.data == bz2.compress(t, 9)
+            assert a.block_bit_offsets == b.block_bit_offsets
+            assert a.combined_crc == b.combined_crc
