@@ -398,7 +398,10 @@ def rle2_from_ranks_native(ranks: np.ndarray, n_in_use: int):
     m = lib.s3_rle2_from_ranks(
         ranks.ctypes.data, ranks.size, n_in_use, out.ctypes.data, freq.ctypes.data
     )
-    return out[:m].astype(np.int32), freq
+    # keep the native uint16 layout: the downstream consumer
+    # (s3_encode_tail) takes uint16, so an int32 round trip here cost
+    # two full-array copies per block on the hot tail path
+    return out[:m], freq
 
 
 def parse_ints_native(arr: np.ndarray, starts: np.ndarray, ends: np.ndarray):
