@@ -942,6 +942,13 @@ def main() -> int:
             device_only["tunnel_health"] = jax["tunnel_health"]
         if "scheduler_stats" in jax:
             device_only["scheduler_stats"] = jax["scheduler_stats"]
+        for extra in (
+            "mixed_class_routing",
+            "headline_remeasure_after_outage",
+            "headline_first_window",
+        ):
+            if extra in jax:
+                device_only[extra] = jax[extra]
         if "streaming_seconds" in jax:
             device_only["streaming_jax_mb_s"] = round(
                 jax["in"] / jax["streaming_seconds"] / 1e6, 3
