@@ -660,7 +660,14 @@ def main() -> int:
                 else:
                     os.environ["STARCH3_TPU_NO_CLASS_ROUTING"] = env_val
                 try:
-                    encode_streams(mixed[:4])  # warm the geometry
+                    # warm BOTH class geometries through the device:
+                    # single-class corpora force the claim regardless
+                    # of claim ordering (a mixed warm-up can leave the
+                    # wide geometry uncompiled under rate-ordered
+                    # claiming and the ~2-min compile then lands inside
+                    # the measurement)
+                    encode_streams(narrow[:6])
+                    encode_streams(wide[:6])
                     skips0 = scheduler_stats["class_skips"]
                     best = float("inf")
                     for _ in range(2):

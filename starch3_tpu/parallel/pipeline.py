@@ -1122,6 +1122,33 @@ class _BlockQueue:
             self.feeding = False
             self.cond.notify_all()
 
+    def claim_priority(self, nm) -> tuple:
+        """Device claim order across geometry buckets: unmeasured
+        classes first (optimistic — one batch measures them), then by
+        measured per-class device rate descending, then bigger
+        geometry.  The old plain bucket-key sort preferred the WIDEST
+        alphabet at equal geometry — i.e. the slowest tier (bits==8 at
+        ~29 MB/s/chip) ahead of the fastest (bits==4 at ~130) — so a
+        mixed corpus parked the chip on its worst work while narrow
+        blocks queued.  Scheduling only: bytes are claim-order
+        invariant.  STARCH3_TPU_NO_CLASS_ROUTING=1 restores the plain
+        descending bucket-key order (the round-4 behavior, for A/B)."""
+        import os
+
+        if isinstance(nm, tuple):
+            n_max, bits_c = nm
+            rate = self.class_rate.get(bits_c)
+        else:
+            n_max, bits_c = nm, 0
+            rate = None
+        if os.environ.get("STARCH3_TPU_NO_CLASS_ROUTING") == "1":
+            return (-n_max, -bits_c)
+        return (
+            -(rate if rate is not None else float("inf")),
+            -n_max,
+            bits_c,
+        )
+
     def class_gated(self, bits_c, now: float) -> bool:
         """True when the device should NOT claim from this alphabet
         class right now: its measured tier rate (per-class drain EMA)
@@ -1371,7 +1398,9 @@ def _device_driver(q: _BlockQueue, results, errors, mesh, mode, batch_size, rese
                                 break
                         q.cond.wait(0.1)
                         continue
-                    for nm in sorted(q.buckets, reverse=True):
+                    for nm in sorted(
+                        q.buckets, key=q.claim_priority
+                    ):
                         dq = q.buckets[nm]
                         remaining = len(dq)
                         if remaining <= 0:

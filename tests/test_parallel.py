@@ -541,6 +541,24 @@ class TestClassRouting:
         # legacy int bucket keys (bits None) pass through
         assert not q.class_gated(None, now)
 
+    def test_claim_priority_orders_by_measured_rate(self):
+        """Device claim order: unmeasured classes first (optimistic
+        probe), then measured per-class rate descending, then bigger
+        geometry — NOT the old widest-bits-first bucket-key sort that
+        parked the chip on its slowest tier."""
+        from starch3_tpu.parallel import pipeline
+
+        q = pipeline._BlockQueue()
+        keys = [(901_120, 4), (901_120, 8), (458_752, 4), (901_120, 5)]
+        # nothing measured: bigger geometry first, narrow before wide
+        got = sorted(keys, key=q.claim_priority)
+        assert got == [(901_120, 4), (901_120, 5), (901_120, 8), (458_752, 4)]
+        # measured rates: bits4 fast, bits8 slow, bits5 unmeasured ->
+        # unmeasured first, then by rate
+        q.class_rate = {4: 130e6, 8: 29e6}
+        got = sorted(keys, key=q.claim_priority)
+        assert got == [(901_120, 5), (901_120, 4), (458_752, 4), (901_120, 8)]
+
     def test_slow_class_routed_to_stealers(self, rng, monkeypatch):
         """VERDICT r04 weak #3 end-to-end: a wide-alphabet class whose
         measured tier rate trails the stealer aggregate stops being
