@@ -690,6 +690,23 @@ def run_crossover(args) -> dict:
     Output bytes are asserted identical across both modes and every
     link profile (schedule- and mode-invariance)."""
     texts = make_corpus(args.copies)
+    # both mocks model the bits==4 tier; drop any text whose RLE1 blocks
+    # pick up >16 distinct bytes (run-length count bytes can widen the
+    # alphabet) instead of letting one block kill the whole measurement
+    from starch3_tpu.codec.rle1 import rle1_split_blocks
+
+    kept = [
+        t for t in texts
+        if all(
+            len(set(blk.data)) <= 16 for blk in rle1_split_blocks(t, 9)
+        )
+    ]
+    if len(kept) != len(texts):
+        sys.stderr.write(
+            f"crossover: dropped {len(texts) - len(kept)} text(s) with "
+            ">16-symbol blocks (bits==4 harness)\n"
+        )
+    texts = kept
     total = sum(map(len, texts))
     rows = precompute_rows(texts)
     pre = precompute_huff(texts)
