@@ -375,6 +375,34 @@ class TestChunkedParseTransform:
             assert [g[:5] for g in got] == [g[:5] for g in ref]
 
 
+class TestCountDistinct:
+    def test_matches_numpy_bincount(self, rng):
+        """s3_count_distinct (feed-time alphabet classing, round 5)
+        must equal the NumPy distinct-byte count on every size and
+        alphabet, including the unrolled-loop remainders."""
+        import numpy as np
+
+        if runtime.get_lib() is None:
+            pytest.skip("needs the native runtime")
+        for n in (0, 1, 2, 3, 4, 5, 7, 8, 9, 255, 1000, 899_981):
+            for hi in (1, 2, 14, 43, 200, 256):
+                buf = rng.integers(0, hi, n).astype(np.uint8).tobytes()
+                want = (
+                    int((np.bincount(
+                        np.frombuffer(buf, np.uint8), minlength=256
+                    ) > 0).sum())
+                    if n
+                    else 0
+                )
+                assert runtime.count_distinct_native(buf) == want, (n, hi)
+
+    def test_full_range(self):
+        """All 256 values present."""
+        if runtime.get_lib() is None:
+            pytest.skip("needs the native runtime")
+        assert runtime.count_distinct_native(bytes(range(256)) * 3) == 256
+
+
 class TestBuildStaleness:
     def test_stamp_tracks_source_and_flags(self, tmp_path, monkeypatch):
         # A stale committed .so restored by git checkout shares its mtime
